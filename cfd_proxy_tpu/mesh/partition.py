@@ -1,0 +1,188 @@
+"""Offline mesh partitioner + comm-list construction.
+
+The reference consumes meshes pre-partitioned offline (the proxy only reads;
+SURVEY.md §1) and builds per-neighbor send/recv lists at startup
+(`setup_comm.c`, SURVEY.md §4.4).  This module is both: a recursive
+coordinate-bisection (RCB) partitioner — geometry-based, the standard choice
+for CFD meshes, handles any partition count — plus the exact `setup_comm`
+semantics: ghost closure by depth, owned-first local numbering, and paired
+send/recv index lists whose buffer order matches on both sides.
+
+Layout contract produced here (consumed by mesh/model.py and parallel/):
+- local points = [owned (sorted by global id) | ghosts by (depth, owner, gid)]
+- faces kept = faces incident to ≥1 point of depth < ghost_layers, i.e. every
+  face needed to compute gradients at owned points (depth-0) and, with deeper
+  halos, at shallow ghosts too;
+- comm entry (A↔B, round r): A.sendidx = A-owned points that are depth-(r+1)
+  ghosts at B, sorted by global id; B.recvidx = B's slots of those ghosts,
+  same sort → position-matched buffers (reference: paired sendidx/recvidx).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from cfd_proxy_tpu.mesh.generator import GlobalMesh
+from cfd_proxy_tpu.mesh.model import CommEntry, MeshPartition
+from cfd_proxy_tpu.utils.errors import check
+
+
+def rcb_assign(coords: np.ndarray, npart: int, *, _ids=None) -> np.ndarray:
+    """Recursive coordinate bisection: returns owner partition per point.
+
+    Splits along the widest axis at the weighted fraction, so any npart works
+    (not just powers of two) with balanced part sizes (±1 point).
+    """
+    N = coords.shape[0]
+    owner = np.zeros(N, dtype=np.int32)
+    ids = np.arange(N) if _ids is None else _ids
+
+    def rec(idx: np.ndarray, lo: int, hi: int) -> None:
+        nparts = hi - lo
+        if nparts == 1:
+            owner[idx] = lo
+            return
+        n1 = nparts // 2
+        c = coords[idx]
+        axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        k = (idx.size * n1) // nparts
+        ord_ = np.argsort(c[:, axis], kind="stable")
+        rec(idx[ord_[:k]], lo, lo + n1)
+        rec(idx[ord_[k:]], lo + n1, hi)
+
+    rec(ids, 0, npart)
+    return owner
+
+
+def partition_mesh(
+    mesh: GlobalMesh,
+    npart: int,
+    *,
+    ghost_layers: int = 1,
+    owner: np.ndarray | None = None,
+) -> list[MeshPartition]:
+    """Partition a GlobalMesh into npart MeshPartitions with K-deep ghosts."""
+    check(npart >= 1, "npart must be >= 1")
+    check(ghost_layers >= 1, "ghost_layers must be >= 1")
+    N = mesh.npoint
+    faces = mesh.faces
+    fa, fb = faces[:, 0], faces[:, 1]
+    if owner is None:
+        owner = rcb_assign(mesh.coords, npart)
+    check(owner.shape == (N,), "owner shape")
+
+    # pass 1: per-partition local numbering
+    depth_of: list[np.ndarray] = []      # (N,) int8, -1 = not present
+    l2g_of: list[np.ndarray] = []
+    owned_gids_of: list[np.ndarray] = []
+    for p in range(npart):
+        depth = np.full(N, -1, dtype=np.int8)
+        depth[owner == p] = 0
+        for d in range(1, ghost_layers + 1):
+            frontier = depth == d - 1
+            mark = np.zeros(N, dtype=bool)
+            mark[fb[frontier[fa]]] = True
+            mark[fa[frontier[fb]]] = True
+            depth[mark & (depth == -1)] = d
+        owned_gids = np.flatnonzero(owner == p)
+        ghost_parts = []
+        for d in range(1, ghost_layers + 1):
+            g = np.flatnonzero(depth == d)
+            g = g[np.lexsort((g, owner[g]))]
+            ghost_parts.append(g)
+        l2g = np.concatenate([owned_gids] + ghost_parts)
+        depth_of.append(depth)
+        l2g_of.append(l2g)
+        owned_gids_of.append(owned_gids)
+
+    # pass 2: build partitions + comm entries
+    parts: list[MeshPartition] = []
+    for p in range(npart):
+        depth = depth_of[p]
+        l2g = l2g_of[p]
+        nowned = owned_gids_of[p].size
+        g2l = np.full(N, -1, dtype=np.int64)
+        g2l[l2g] = np.arange(l2g.size)
+
+        keep = (depth[fa] >= 0) & (depth[fa] < ghost_layers)
+        keep |= (depth[fb] >= 0) & (depth[fb] < ghost_layers)
+        fsel = np.flatnonzero(keep)
+        pf = np.stack([g2l[fa[fsel]], g2l[fb[fsel]]], axis=1)
+        check(int(pf.min(initial=0)) >= 0, "face endpoint outside ghost closure")
+        pn = mesh.normals[fsel].copy()
+        swap = pf[:, 0] > pf[:, 1]
+        pf[swap] = pf[swap][:, ::-1]
+        pn[swap] = -pn[swap]
+
+        comm: list[CommEntry] = []
+        for d in range(1, ghost_layers + 1):
+            ghost_gids = l2g[(depth[l2g] == d)]
+            for q in range(npart):
+                if q == p:
+                    continue
+                recv_g = ghost_gids[owner[ghost_gids] == q]
+                recv_g = np.sort(recv_g)
+                # points owned by p that are depth-d ghosts at q
+                send_g = np.flatnonzero((owner == p) & (depth_of[q] == d))
+                if recv_g.size == 0 and send_g.size == 0:
+                    continue
+                sendidx = np.searchsorted(owned_gids_of[p], send_g)
+                recvidx = g2l[recv_g]
+                comm.append(CommEntry(
+                    partner=q,
+                    round=d - 1,
+                    sendidx=sendidx.astype(np.int32),
+                    recvidx=recvidx.astype(np.int32),
+                ))
+
+        part = MeshPartition(
+            part_id=p,
+            npart=npart,
+            nowned=int(nowned),
+            coords=mesh.coords[l2g],
+            global_ids=l2g.astype(np.int32),
+            faces=pf.astype(np.int32),
+            normals=pn,
+            volume=mesh.volume[l2g],
+            comm=comm,
+        )
+        part.validate()
+        parts.append(part)
+    return parts
+
+
+def send_point_set(part: MeshPartition) -> np.ndarray:
+    """Owned points referenced by any sendidx — the halo-adjacent set whose
+    gradients must be final before the exchange can fire (the reference's
+    finish-counter targets; SURVEY.md §4.3)."""
+    if not part.comm:
+        return np.zeros(0, dtype=np.int32)
+    idx = np.concatenate([e.sendidx for e in part.comm])
+    return np.unique(idx).astype(np.int32)
+
+
+def exchange_host(parts: list[MeshPartition], arrays: list[np.ndarray]) -> None:
+    """Host-side reference halo exchange (in place), all rounds in order.
+
+    The NumPy golden analogue of the exchange layer: round r scatters each
+    partner's packed send buffer into ghost slots.  Used by tests as the
+    correctness model for the device-side ppermute exchange.
+
+    Arrays must be writable — note `np.asarray(jax_array)` returns a
+    READ-ONLY view; pass `np.array(x)` copies when mixing with device results.
+    """
+    for a in arrays:
+        check(a.flags.writeable,
+              "exchange_host mutates in place; got a read-only array "
+              "(np.asarray of a jax array? use np.array(x) to copy)")
+    nrounds = max((pt.nrounds for pt in parts), default=0)
+    for r in range(nrounds):
+        packed: dict[tuple[int, int], np.ndarray] = {}
+        for pt in parts:
+            for e in pt.comm:
+                if e.round == r and e.sendidx.size:
+                    packed[(pt.part_id, e.partner)] = arrays[pt.part_id][e.sendidx]
+        for pt in parts:
+            for e in pt.comm:
+                if e.round == r and e.recvidx.size:
+                    arrays[pt.part_id][e.recvidx] = packed[(e.partner, pt.part_id)]

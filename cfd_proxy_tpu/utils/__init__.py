@@ -1,0 +1,18 @@
+"""L0 substrate: error checking + timing/statistics.
+
+Reference equivalents: `error_handling.h` (SUCCESS_OR_DIE/ASSERT macros) and
+`util.c/h` (wall-clock timer, per-iteration min/median/max stats) — see
+SURVEY.md §2 L0 and §5.1.
+"""
+
+from cfd_proxy_tpu.utils.errors import CheckError, check, check_index_array
+from cfd_proxy_tpu.utils.timing import IterationStats, Timer, format_stats_table
+
+__all__ = [
+    "CheckError",
+    "check",
+    "check_index_array",
+    "Timer",
+    "IterationStats",
+    "format_stats_table",
+]

@@ -1,0 +1,94 @@
+"""Wall-clock timing and per-iteration statistics.
+
+TPU-native analogue of the reference's `util.c` timer + the per-variant
+min/median/max iteration-time table printed by the driver (SURVEY.md §2 L0,
+§5.1, §5.5).  On device, timed regions are bracketed with
+`jax.block_until_ready` walls by the caller; this module only aggregates.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+
+class Timer:
+    """Simple wall-clock stopwatch (monotonic, like the reference's now())."""
+
+    def __init__(self) -> None:
+        self._t0 = time.perf_counter()
+
+    def reset(self) -> None:
+        self._t0 = time.perf_counter()
+
+    def elapsed(self) -> float:
+        return time.perf_counter() - self._t0
+
+
+@dataclass
+class IterationStats:
+    """Collects per-iteration wall times for one benchmark variant."""
+
+    name: str
+    times: list[float] = field(default_factory=list)
+
+    def add(self, seconds: float) -> None:
+        self.times.append(seconds)
+
+    @property
+    def n(self) -> int:
+        return len(self.times)
+
+    def _sorted(self) -> list[float]:
+        return sorted(self.times)
+
+    @property
+    def min(self) -> float:
+        return self._sorted()[0]
+
+    @property
+    def max(self) -> float:
+        return self._sorted()[-1]
+
+    @property
+    def median(self) -> float:
+        s = self._sorted()
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else 0.5 * (s[m - 1] + s[m])
+
+    @property
+    def mean(self) -> float:
+        return sum(self.times) / len(self.times)
+
+    def summary(self) -> dict:
+        return {
+            "name": self.name,
+            "iters": self.n,
+            "min_s": self.min,
+            "median_s": self.median,
+            "mean_s": self.mean,
+            "max_s": self.max,
+        }
+
+
+def format_stats_table(stats: list[IterationStats], *, ref: str | None = None) -> str:
+    """Pretty table of variant timings, with speedup vs a reference variant.
+
+    Mirrors the reference driver's stdout table (per comm-variant min/median/
+    max and speedup vs bulk-sync; SURVEY.md §5.5).
+    """
+    lines = [
+        f"{'variant':<28} {'iters':>5} {'min(ms)':>9} {'med(ms)':>9} {'max(ms)':>9} {'speedup':>8}"
+    ]
+    ref_med = None
+    if ref is not None:
+        for s in stats:
+            if s.name == ref:
+                ref_med = s.median
+    for s in stats:
+        sp = f"{ref_med / s.median:8.2f}" if ref_med else f"{'-':>8}"
+        lines.append(
+            f"{s.name:<28} {s.n:>5} {s.min * 1e3:>9.3f} {s.median * 1e3:>9.3f} "
+            f"{s.max * 1e3:>9.3f} {sp}"
+        )
+    return "\n".join(lines)

@@ -1,0 +1,65 @@
+"""NetCDF-3 codec round-trip + interop with scipy's independent implementation."""
+
+import numpy as np
+import pytest
+
+from cfd_proxy_tpu.mesh import netcdf3
+
+
+def _sample_ds():
+    ds = netcdf3.Dataset()
+    ds.attrs = {"title": "cfd-proxy-tpu test", "npart": 4, "scale": 2.5}
+    ds.add("coords", ("points", "dim3"), np.arange(30, dtype=np.float64).reshape(10, 3))
+    ds.add("faces", ("faces", "two"), np.arange(14, dtype=np.int32).reshape(7, 2))
+    ds.add("normals", ("faces", "dim3"), np.random.default_rng(0).standard_normal((7, 3)))
+    ds.add("volume", ("points",), np.linspace(1, 2, 10))
+    ds.add("flag", ("points",), np.arange(10, dtype=np.int8))
+    return ds
+
+
+def test_roundtrip(tmp_path):
+    p = str(tmp_path / "mesh.nc")
+    ds = _sample_ds()
+    netcdf3.write(p, ds)
+    rd = netcdf3.read(p)
+    assert rd.dims == ds.dims
+    assert rd.attrs["title"] == "cfd-proxy-tpu test"
+    assert rd.attrs["npart"] == 4
+    assert rd.attrs["scale"] == 2.5
+    for name, (dims, arr) in ds.variables.items():
+        rdims, rarr = rd.variables[name]
+        assert rdims == dims
+        np.testing.assert_array_equal(rarr, arr)
+
+
+def test_scipy_can_read_our_files(tmp_path):
+    from scipy.io import netcdf_file
+
+    p = str(tmp_path / "mesh.nc")
+    netcdf3.write(p, _sample_ds())
+    with netcdf_file(p, "r", mmap=False) as f:
+        np.testing.assert_array_equal(
+            f.variables["faces"][:], np.arange(14, dtype=np.int32).reshape(7, 2)
+        )
+        assert f.npart == 4
+
+
+def test_we_can_read_scipy_files(tmp_path):
+    from scipy.io import netcdf_file
+
+    p = str(tmp_path / "sp.nc")
+    with netcdf_file(p, "w") as f:
+        f.createDimension("n", 5)
+        v = f.createVariable("x", "d", ("n",))
+        v[:] = np.arange(5.0)
+        f.history = "scipy"
+    rd = netcdf3.read(p)
+    np.testing.assert_array_equal(rd["x"], np.arange(5.0))
+    assert rd.attrs["history"] == "scipy"
+
+
+def test_int64_rejected(tmp_path):
+    ds = netcdf3.Dataset()
+    ds.add("bad", ("n",), np.arange(4, dtype=np.int64))
+    with pytest.raises(ValueError):
+        netcdf3.write(str(tmp_path / "bad.nc"), ds)

@@ -1,0 +1,117 @@
+"""Partitioner + comm metadata + netCDF round-trip + distributed golden check.
+
+The P-shard vs 1-shard gradient comparison here is the host-side model of the
+reference's cross-variant verification (SURVEY.md §4b): partition, exchange
+ghost state, sweep per partition, exchange gradients, compare to the global
+sweep.
+"""
+
+import numpy as np
+import pytest
+
+from cfd_proxy_tpu.mesh.generator import generate_mesh, make_state
+from cfd_proxy_tpu.mesh.partition import (
+    exchange_host,
+    partition_mesh,
+    rcb_assign,
+    send_point_set,
+)
+from cfd_proxy_tpu.mesh.reader import partition_path, read_partition, write_partition
+from cfd_proxy_tpu.ops.golden import compute_gradients_gg
+
+NVAR = 4
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return generate_mesh(9, 8, 7, jitter=0.05, diag_frac=0.2, shuffle=True, seed=21)
+
+
+def test_rcb_balance(mesh):
+    for npart in (2, 3, 5, 8):
+        owner = rcb_assign(mesh.coords, npart)
+        counts = np.bincount(owner, minlength=npart)
+        assert counts.max() - counts.min() <= 1
+
+
+def test_single_partition_is_whole_mesh(mesh):
+    (part,) = partition_mesh(mesh, 1)
+    assert part.nowned == mesh.npoint
+    assert part.nghost == 0
+    assert part.comm == []
+    assert part.nface == mesh.nface
+
+
+@pytest.mark.parametrize("npart,ghost_layers", [(2, 1), (4, 1), (3, 2), (8, 2)])
+def test_partition_invariants(mesh, npart, ghost_layers):
+    parts = partition_mesh(mesh, npart, ghost_layers=ghost_layers)
+    assert sum(p.nowned for p in parts) == mesh.npoint
+    # every global point owned exactly once
+    owned = np.concatenate([p.global_ids[: p.nowned] for p in parts])
+    assert np.array_equal(np.sort(owned), np.arange(mesh.npoint))
+    # paired comm lists agree across partitions
+    for p in parts:
+        for e in p.comm:
+            q = parts[e.partner]
+            back = [x for x in q.comm if x.partner == p.part_id and x.round == e.round]
+            assert len(back) == 1
+            # p sends gids == q receives gids, in the same order
+            send_g = p.global_ids[e.sendidx]
+            recv_g = q.global_ids[back[0].recvidx]
+            np.testing.assert_array_equal(send_g, recv_g)
+    # send points are owned
+    for p in parts:
+        sp = send_point_set(p)
+        assert (sp < p.nowned).all()
+
+
+@pytest.mark.parametrize("npart,ghost_layers", [(4, 1), (3, 2)])
+def test_distributed_golden_matches_global(mesh, npart, ghost_layers):
+    parts = partition_mesh(mesh, npart, ghost_layers=ghost_layers)
+    gvar = make_state(mesh.npoint, NVAR, seed=9)
+    gref = compute_gradients_gg(gvar, mesh.faces, mesh.normals)
+
+    # scatter state to partitions: owned values only, then halo-exchange
+    lvars = []
+    for p in parts:
+        v = np.zeros((p.npoint, NVAR))
+        v[: p.nowned] = gvar[p.global_ids[: p.nowned]]
+        lvars.append(v)
+    exchange_host(parts, lvars)
+    for p, v in zip(parts, lvars):
+        np.testing.assert_array_equal(v, gvar[p.global_ids])  # ghosts filled
+
+    # per-partition sweep; owned gradients must match the global sweep
+    lgrads = []
+    for p, v in zip(parts, lvars):
+        g = compute_gradients_gg(v, p.faces, p.normals).reshape(p.npoint, -1)
+        np.testing.assert_allclose(
+            g[: p.nowned], gref.reshape(mesh.npoint, -1)[p.global_ids[: p.nowned]],
+            rtol=1e-12, atol=1e-12,
+        )
+        lgrads.append(g)
+    # gradient halo exchange fills ghost grads with the owners' values
+    exchange_host(parts, lgrads)
+    for p, g in zip(parts, lgrads):
+        np.testing.assert_allclose(
+            g, gref.reshape(mesh.npoint, -1)[p.global_ids], rtol=1e-12, atol=1e-12
+        )
+
+
+def test_netcdf_roundtrip(tmp_path, mesh):
+    parts = partition_mesh(mesh, 4, ghost_layers=2)
+    prefix = str(tmp_path / "m")
+    for p in parts:
+        write_partition(partition_path(prefix, p.part_id, 4), p)
+    for p in parts:
+        r = read_partition(partition_path(prefix, p.part_id, 4))
+        assert r.part_id == p.part_id and r.npart == p.npart
+        assert r.nowned == p.nowned
+        np.testing.assert_array_equal(r.faces, p.faces)
+        np.testing.assert_array_equal(r.global_ids, p.global_ids)
+        np.testing.assert_allclose(r.normals, p.normals)
+        assert len(r.comm) == len(p.comm)
+        for a, b in zip(r.comm, p.comm):
+            assert a.partner == b.partner and a.round == b.round
+            np.testing.assert_array_equal(a.sendidx, b.sendidx)
+            np.testing.assert_array_equal(a.recvidx, b.recvidx)
