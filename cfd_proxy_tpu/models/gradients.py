@@ -1,0 +1,158 @@
+"""GreenGaussModel — the flagship model: distributed Green-Gauss gradients.
+
+Bundles, for a partitioned mesh: sweep preprocessing (uniform pad targets
+across shards), device metadata upload, the halo phase schedule, and jitted
+`shard_map` step functions for every exchange schedule.  This is the
+user-facing equivalent of the reference's benchmark core: one `step` call ==
+one timed iteration {gradient sweep + gradient halo exchange} (SURVEY.md
+§4.2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cfd_proxy_tpu.mesh.model import MeshPartition
+from cfd_proxy_tpu.mesh.partition import send_point_set
+from cfd_proxy_tpu.ops.prep import SweepPads, build_sweep_plan
+from cfd_proxy_tpu.ops.sweep_jax import DeviceSweep, device_sweep, set_volume
+from cfd_proxy_tpu.parallel.halo import DeviceHalo, device_halo, exchange
+from cfd_proxy_tpu.parallel.schedules import SCHEDULES, STEP_FNS
+from cfd_proxy_tpu.parallel.topology import build_halo_topology
+from cfd_proxy_tpu.utils.errors import check
+
+AXIS = "shard"
+
+
+def _shard_map(fn, mesh, in_specs, out_specs):
+    try:
+        return jax.shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    except AttributeError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+        return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+
+
+class GreenGaussModel:
+    """Distributed Green-Gauss gradient sweep over P mesh shards.
+
+    One shard per device on a 1-D `jax.sharding.Mesh` (the TPU realisation of
+    the reference's one-partition-per-rank domain decomposition; SURVEY.md §3
+    "Parallelism strategies").
+    """
+
+    def __init__(
+        self,
+        parts: list[MeshPartition],
+        nvar: int,
+        *,
+        dtype=jnp.float32,
+        devices: list | None = None,
+    ):
+        check(len(parts) >= 1, "need at least one partition")
+        self.parts = parts
+        self.nvar = int(nvar)
+        self.dtype = dtype
+        P_ = len(parts)
+
+        if devices is None:
+            devices = jax.devices()[:P_]
+        check(len(devices) >= P_, "need %d devices, have %d", P_, len(devices))
+        self.mesh = Mesh(np.array(devices[:P_]), (AXIS,))
+
+        # two-pass plan build → uniform shapes across shards
+        raw = [
+            build_sweep_plan(p.faces, p.normals, p.npoint, p.nowned, send_point_set(p))
+            for p in parts
+        ]
+        pads = SweepPads.max_of(raw)
+        self.plans = [
+            build_sweep_plan(
+                p.faces, p.normals, p.npoint, p.nowned, send_point_set(p), pads=pads
+            )
+            for p in parts
+        ]
+        self.npoint_pad = pads.npoint_pad
+
+        dsweeps = []
+        for p, plan in zip(parts, self.plans):
+            ds = device_sweep(plan, dtype=dtype)
+            ds = set_volume(ds, p.volume, p.nowned)
+            dsweeps.append(ds)
+        topo = build_halo_topology(parts, self.npoint_pad)
+        self.topology = topo
+        halos = [device_halo(topo, i) for i in range(P_)]
+
+        # stack per-shard metadata along a leading device axis and place it
+        self._sharding = NamedSharding(self.mesh, P(AXIS))
+        def stack(*xs):
+            return jax.device_put(jnp.stack(xs), self._sharding)
+
+        self.dsweep = jax.tree_util.tree_map(stack, *dsweeps)
+        self.halo = jax.tree_util.tree_map(stack, *halos)
+        self._step_cache: dict = {}
+
+    # ---------------------------------------------------------------- state
+
+    def distribute_state(self, gvar: np.ndarray, global_ids_ok: bool = True) -> jax.Array:
+        """Scatter a global state array (N, nvar) to owned rows per shard and
+        fill ghosts with a device-side var exchange."""
+        vs = []
+        for p in self.parts:
+            v = np.zeros((self.npoint_pad, self.nvar), dtype=np.float64)
+            v[: p.nowned] = gvar[p.global_ids[: p.nowned]]
+            vs.append(jnp.asarray(v, dtype=self.dtype))
+        var = jax.device_put(jnp.stack(vs), self._sharding)
+        return self.exchange_var(var)
+
+    def exchange_var(self, var: jax.Array) -> jax.Array:
+        """Fill ghost rows of a stacked state array from their owners."""
+
+        def body(v, halo):
+            return exchange(v[0], jax.tree_util.tree_map(lambda a: a[0], halo), AXIS)[None]
+
+        fn = _shard_map(body, self.mesh, in_specs=(P(AXIS), P(AXIS)), out_specs=P(AXIS))
+        return jax.jit(fn)(var, self.halo)
+
+    # ---------------------------------------------------------------- step
+
+    def step_fn(self, schedule: str = "overlap", *, exact: bool = False):
+        """Jitted stacked-step: var (P, npoint_pad, nvar) → grad (P, npoint_pad, nvar*3)."""
+        check(schedule in SCHEDULES, "unknown schedule %r", schedule)
+        key = (schedule, exact)
+        if key not in self._step_cache:
+            step = STEP_FNS[schedule]
+
+            def body(var, dsw, halo):
+                dsw1 = jax.tree_util.tree_map(lambda a: a[0], dsw)
+                halo1 = jax.tree_util.tree_map(lambda a: a[0], halo)
+                return step(var[0], dsw1, halo1, AXIS, exact=exact)[None]
+
+            fn = _shard_map(
+                body, self.mesh,
+                in_specs=(P(AXIS), P(AXIS), P(AXIS)),
+                out_specs=P(AXIS),
+            )
+            self._step_cache[key] = jax.jit(fn)
+        return self._step_cache[key]
+
+    def step(self, var: jax.Array, schedule: str = "overlap", *, exact: bool = False):
+        return self.step_fn(schedule, exact=exact)(var, self.dsweep, self.halo)
+
+    # ------------------------------------------------------------- gather
+
+    def gather_global(self, stacked: jax.Array, *, owned_only: bool = True) -> np.ndarray:
+        """Collect a stacked per-shard array back to global numbering (host)."""
+        arr = np.asarray(stacked)
+        ncol = arr.shape[-1]
+        N = sum(p.nowned for p in self.parts)
+        out = np.zeros((N, ncol), dtype=arr.dtype)
+        for i, p in enumerate(self.parts):
+            out[p.global_ids[: p.nowned]] = arr[i, : p.nowned]
+        return out

@@ -109,13 +109,11 @@ def ell_reduce(
     exact: bool,
 ) -> jax.Array:
     if exact:
-        def body(g, col):
-            f, s = col
-            return g + s[:, None] * jnp.take(contrib, f, axis=0), None
-
-        g, _ = jax.lax.scan(
-            body, init, (inc_face.T, inc_sign.T)
-        )
+        # unrolled sequential accumulation in slot order (maxdeg is small);
+        # a python loop also sidesteps shard_map's scan carry vma typing
+        g = init
+        for k in range(inc_face.shape[1]):
+            g = g + inc_sign[:, k : k + 1] * jnp.take(contrib, inc_face[:, k], axis=0)
         return g
     gathered = jnp.take(contrib, inc_face.reshape(-1), axis=0)
     gathered = gathered.reshape(*inc_face.shape, contrib.shape[1])
