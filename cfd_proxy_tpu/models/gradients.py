@@ -23,7 +23,7 @@ from cfd_proxy_tpu.mesh.partition import send_point_set
 from cfd_proxy_tpu.ops.prep import SweepPads, build_sweep_plan
 from cfd_proxy_tpu.ops.sweep_jax import DeviceSweep, device_sweep, set_volume
 from cfd_proxy_tpu.parallel.halo import DeviceHalo, device_halo, exchange
-from cfd_proxy_tpu.parallel.schedules import SCHEDULES, STEP_FNS
+from cfd_proxy_tpu.parallel.schedules import STEP_FNS
 from cfd_proxy_tpu.parallel.topology import build_halo_topology
 from cfd_proxy_tpu.utils.errors import check
 
@@ -124,7 +124,7 @@ class GreenGaussModel:
 
     def step_fn(self, schedule: str = "overlap", *, exact: bool = False):
         """Jitted stacked-step: var (P, npoint_pad, nvar) → grad (P, npoint_pad, nvar*3)."""
-        check(schedule in SCHEDULES, "unknown schedule %r", schedule)
+        check(schedule in STEP_FNS, "unknown schedule %r", schedule)
         key = (schedule, exact)
         if key not in self._step_cache:
             step = STEP_FNS[schedule]
@@ -144,6 +144,33 @@ class GreenGaussModel:
 
     def step(self, var: jax.Array, schedule: str = "overlap", *, exact: bool = False):
         return self.step_fn(schedule, exact=exact)(var, self.dsweep, self.halo)
+
+    def iterate_fn(self, schedule: str, n: int, *, exact: bool = False):
+        """Jitted n-iteration chained runner for benchmarking.
+
+        Feeds a vanishing fraction of each iteration's gradient back into the
+        state (pseudo-time-stepping shape) so iterations are data-dependent —
+        XLA cannot hoist the sweep out of the loop, and ONE dispatch times n
+        real iterations (the tunnel's dispatch overhead and the async
+        block_until_ready semantics make per-call host timing meaningless).
+        """
+        key = ("iterate", schedule, n, exact)
+        if key not in self._step_cache:
+            step = self.step_fn(schedule, exact=exact)
+            nvar = self.nvar
+            eps = jnp.asarray(1e-30, self.dtype)
+
+            @jax.jit
+            def run_n(var, dsw, halo):
+                def body(v, _):
+                    g = step(v, dsw, halo)
+                    return v + eps * g[..., :nvar], None
+
+                v, _ = jax.lax.scan(body, var, None, length=n)
+                return v
+
+            self._step_cache[key] = run_n
+        return self._step_cache[key]
 
     # ------------------------------------------------------------- gather
 

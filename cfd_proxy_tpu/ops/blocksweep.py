@@ -1,0 +1,296 @@
+"""Block-local Pallas sweep — the production TPU kernel for the hot loop.
+
+This is the speed-of-light path for `compute_gradients_gg` (reference
+`gradients.c`, SURVEY.md §4.3).  Measured on v5e, XLA's gather/scatter run at
+19 GB/s / 3 GB/s against a 782 GB/s streaming ceiling, so the entire sweep is
+done inside one Pallas kernel over VMEM-sized point blocks with NO scatters
+and no large-table gathers:
+
+Layout (everything transposed, "SoA-T"):
+    var_T  (NV, npoint_dev)   — state, NV = nvar padded to 8 sublanes
+    grad_T (3*NV, npoint_dev) — output, row d*NV+v
+
+Preprocessing (host, this module) groups the 2F directed incidences
+(slot = one face endpoint) by destination point, orders each point's slots by
+incidence id (golden summation order), and blocks points into BP-column
+groups.  Per block:
+    slot_idx (K, BP)    W-index of the *other* endpoint of each slot
+    slot_w   (K, 3, BP) sign × face normal (±n_f), zero on padding
+    ext_idx  (EP,)      device columns gathered into the block table
+    scale    (1, BP)    1/V at owned points (volume scaling fused), 0 on pad
+The block table is tbl = [own columns | ext columns] (NV, W = BP+EP).
+
+Kernel: for each output 128-lane tile and each slot k:
+    avg = 0.5 * (own_aligned + gather(tbl, idx))
+    acc += w_k ⊙ avg
+The destination endpoint is lane-ALIGNED (slots are directed), so each slot
+needs ONE gather.  Mosaic's `tpu.dynamic_gather` shuffles within a single
+128-lane vreg only, so the gather over W lanes is decomposed into W/128
+masked passes (select on idx>>7 == pass).
+
+Accumulating on top of a previous grad (input_output_aliases) makes
+boundary-kernel ∘ interior-kernel == bulk kernel, the schedule-equivalence
+property (SURVEY.md §5.8).  A scalar-prefetch block list restricts a kernel
+to the blocks a face class actually touches (the rangelist-stage analogue).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cfd_proxy_tpu.utils.errors import check
+
+LANE = 128
+NV = 8          # padded variable count (sublane tile for f32)
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass
+class BlockPlan:
+    """Host-side block metadata for one face class on one shard."""
+
+    npoint_dev: int            # padded device point count (multiple of BP)
+    bp: int                    # points per block
+    ep: int                    # ext columns per block (multiple of 128)
+    kslots: int                # max slots per point (uniform)
+    nblocks: int               # blocks in this plan's block list
+    block_ids: np.ndarray      # (nblocks,) i32 — device block index per grid step
+    slot_idx: np.ndarray       # (nblocks, K, BP) i32 — W-index of other endpoint
+    slot_w: np.ndarray         # (nblocks, K, 3, BP) f32 — ± normals
+    ext_idx: np.ndarray        # (nblocks, EP) i32 — device columns to gather
+    scale: np.ndarray          # (nblocks, 1, BP) f32 — 1/V (fused), 0 on pad
+
+
+def build_block_plan(
+    faces: np.ndarray,         # (F, 2) device point columns
+    normals: np.ndarray,       # (F, 3)
+    npoint_dev: int,           # multiple of bp
+    inv_scale: np.ndarray,     # (npoint_dev,) — 1/V at owned, 0 elsewhere
+    *,
+    bp: int = 256,
+    face_sel: np.ndarray | None = None,   # bool (F,) — restrict to a face class
+    all_blocks: bool = False,  # keep every block in the grid even if empty
+    pads: tuple[int, int] | None = None,  # (ep, kslots) forced paddings
+) -> BlockPlan:
+    check(npoint_dev % bp == 0, "npoint_dev %d not a multiple of bp %d", npoint_dev, bp)
+    check(bp % LANE == 0, "bp must be a multiple of 128")
+    F = faces.shape[0]
+    if face_sel is None:
+        fsel = np.arange(F)
+    else:
+        fsel = np.flatnonzero(face_sel)
+    f = faces[fsel]
+    n = normals[fsel]
+
+    # directed incidences: destination point, other endpoint, ±normal, order
+    dst = np.concatenate([f[:, 0], f[:, 1]])
+    oth = np.concatenate([f[:, 1], f[:, 0]])
+    sgn = np.concatenate([np.ones(len(f)), -np.ones(len(f))])
+    w = sgn[:, None] * np.concatenate([n, n], axis=0)          # (2Fs, 3)
+    inc_id = np.concatenate([2 * fsel, 2 * fsel + 1])          # golden order
+
+    blk = dst // bp
+    nblk_total = npoint_dev // bp
+    if all_blocks:
+        blocks = np.arange(nblk_total)
+    else:
+        blocks = np.unique(blk) if blk.size else np.zeros(1, np.int64)
+    nblocks = len(blocks)
+    blk_pos = np.full(nblk_total, -1, np.int64)
+    blk_pos[blocks] = np.arange(nblocks)
+
+    # per-point slot assignment, slots ordered by incidence id
+    order = np.lexsort((inc_id, dst))
+    dst_s, oth_s, w_s = dst[order], oth[order], w[order]
+    counts = np.bincount(dst_s, minlength=npoint_dev)
+    kmax = int(counts.max()) if counts.size else 0
+    starts = np.zeros(npoint_dev + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    slot_of = np.arange(dst_s.size) - starts[dst_s]
+
+    # per-block ext lists: other endpoints outside the block
+    lane = dst_s % bp
+    b_of = blk_pos[dst_s // bp]
+    own_lo = (dst_s // bp) * bp
+    is_ext = (oth_s < own_lo) | (oth_s >= own_lo + bp)
+
+    ext_lists: list[np.ndarray] = []
+    ext_max = 0
+    for bi, b in enumerate(blocks):
+        sel = (b_of == bi) & is_ext
+        uniq = np.unique(oth_s[sel])
+        ext_lists.append(uniq)
+        ext_max = max(ext_max, len(uniq))
+    ep = round_up(max(ext_max, 1), LANE)
+    if pads is not None:
+        check(pads[0] >= ep, "pads ep %d < required %d", pads[0], ep)
+        check(pads[1] >= kmax, "pads kslots %d < required %d", pads[1], kmax)
+        ep, kmax = pads
+    kmax = max(kmax, 1)
+
+    slot_idx = np.zeros((nblocks, kmax, bp), np.int32)
+    slot_w = np.zeros((nblocks, kmax, 3, bp), np.float32)
+    ext_idx = np.zeros((nblocks, ep), np.int32)
+    scale = np.zeros((nblocks, 1, bp), np.float32)
+    for bi, b in enumerate(blocks):
+        scale[bi, 0, :] = inv_scale[b * bp : (b + 1) * bp]
+        ext = ext_lists[bi]
+        ext_idx[bi, : len(ext)] = ext
+        sel = b_of == bi
+        if not sel.any():
+            continue
+        o = oth_s[sel]
+        # W-index: own columns at o - b*bp; ext columns at bp + rank
+        local = o - b * bp
+        ext_rank = np.searchsorted(ext, o)
+        widx = np.where((local >= 0) & (local < bp), local, bp + ext_rank)
+        slot_idx[bi, slot_of[sel], lane[sel]] = widx.astype(np.int32)
+        slot_w[bi, slot_of[sel], :, lane[sel]] = w_s[sel].astype(np.float32)
+
+    return BlockPlan(
+        npoint_dev=npoint_dev, bp=bp, ep=ep, kslots=kmax, nblocks=nblocks,
+        block_ids=blocks.astype(np.int32), slot_idx=slot_idx, slot_w=slot_w,
+        ext_idx=ext_idx, scale=scale,
+    )
+
+
+# ------------------------------------------------------------------ kernel
+
+def _sweep_kernel(bp: int, ep: int, kslots: int, accumulate: bool):
+    w_total = bp + ep
+    npass = w_total // LANE
+    ntile = bp // LANE
+
+    def kernel(bids_ref, own_ref, ext_ref, sidx_ref, sw_ref, scale_ref,
+               *rest):
+        if accumulate:
+            init_ref, out_ref = rest
+        else:
+            (out_ref,) = rest
+        tbl = jnp.concatenate([own_ref[:], ext_ref[0]], axis=1)  # (NV, W)
+        for t in range(ntile):
+            own_tile = own_ref[:, t * LANE : (t + 1) * LANE]      # (NV, 128)
+            acc = jnp.zeros((3 * NV, LANE), jnp.float32)
+            for k in range(kslots):
+                idx = sidx_ref[0, k, t * LANE : (t + 1) * LANE]   # (128,)
+                idxb = jnp.broadcast_to(idx[None, :], (NV, LANE))
+                gat = jnp.zeros((NV, LANE), jnp.float32)
+                for j in range(npass):
+                    tbl_j = tbl[:, j * LANE : (j + 1) * LANE]
+                    lo = (idxb - j * LANE).astype(jnp.int32)
+                    hit = (idxb >= j * LANE) & (idxb < (j + 1) * LANE)
+                    g_j = jnp.take_along_axis(
+                        tbl_j, jnp.where(hit, lo, 0), axis=1
+                    )
+                    gat = jnp.where(hit, g_j, gat)
+                avg = 0.5 * (own_tile + gat)                      # (NV, 128)
+                wk = sw_ref[0, k, :, t * LANE : (t + 1) * LANE]   # (3, 128)
+                acc = acc + (wk[:, None, :] * avg[None, :, :]).reshape(3 * NV, LANE)
+            acc = acc * scale_ref[0, 0, t * LANE : (t + 1) * LANE][None, :]
+            if accumulate:
+                acc = acc + init_ref[:, t * LANE : (t + 1) * LANE]
+            out_ref[:, t * LANE : (t + 1) * LANE] = acc
+
+    return kernel
+
+
+def sweep_blocks(
+    var_T: jax.Array,            # (NV, npoint_dev) f32
+    plan_arrays: dict,           # device arrays of a BlockPlan (see below)
+    *,
+    bp: int,
+    ep: int,
+    kslots: int,
+    nblocks: int,
+    init: jax.Array | None = None,   # (3NV, npoint_dev) to accumulate onto
+    interpret: bool = False,
+) -> jax.Array:
+    """Run the block sweep; returns grad_T (3*NV, npoint_dev).
+
+    plan_arrays keys: block_ids (nblocks,), exts (nblocks, NV, EP),
+    slot_idx, slot_w, scale — exts are the pre-gathered ext columns
+    (var is static across benchmark iterations; see models/gradients.py).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    npoint_dev = var_T.shape[1]
+    accumulate = init is not None
+    kernel = _sweep_kernel(bp, ep, kslots, accumulate)
+
+    def bid(i, bids):
+        return bids[i]
+
+    in_specs = [
+        pl.BlockSpec((NV, bp), lambda i, bids: (0, bid(i, bids)),
+                     memory_space=pltpu.VMEM),                       # own
+        pl.BlockSpec((1, NV, ep), lambda i, bids: (i, 0, 0),
+                     memory_space=pltpu.VMEM),                       # exts
+        pl.BlockSpec((1, kslots, bp), lambda i, bids: (i, 0, 0),
+                     memory_space=pltpu.VMEM),                       # slot_idx
+        pl.BlockSpec((1, kslots, 3, bp), lambda i, bids: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),                       # slot_w
+        pl.BlockSpec((1, 1, bp), lambda i, bids: (i, 0, 0),
+                     memory_space=pltpu.VMEM),                       # scale
+    ]
+    args = [
+        var_T,
+        plan_arrays["exts"],
+        plan_arrays["slot_idx"],
+        plan_arrays["slot_w"],
+        plan_arrays["scale"],
+    ]
+    out_spec = pl.BlockSpec((3 * NV, bp), lambda i, bids: (0, bid(i, bids)),
+                            memory_space=pltpu.VMEM)
+    if accumulate:
+        in_specs.append(
+            pl.BlockSpec((3 * NV, bp), lambda i, bids: (0, bid(i, bids)),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(init)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=in_specs,
+        out_specs=out_spec,
+    )
+    kwargs = {}
+    if accumulate:
+        # alias init (last tensor input) with the output buffer so untouched
+        # blocks keep their prior values
+        kwargs["input_output_aliases"] = {len(args): 0}
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((3 * NV, npoint_dev), jnp.float32),
+        interpret=interpret,
+        **kwargs,
+    )(plan_arrays["block_ids"], *args)
+
+
+def device_block_plan(plan: BlockPlan) -> dict:
+    """Upload BlockPlan arrays (exts filled separately per state)."""
+    return {
+        "block_ids": jnp.asarray(plan.block_ids),
+        "slot_idx": jnp.asarray(plan.slot_idx),
+        "slot_w": jnp.asarray(plan.slot_w),
+        "scale": jnp.asarray(plan.scale),
+        "ext_idx": jnp.asarray(plan.ext_idx),
+    }
+
+
+def gather_exts(var_T: jax.Array, ext_idx: jax.Array) -> jax.Array:
+    """(NV, N) × (nblocks, EP) → (nblocks, NV, EP).  Setup-time only — var is
+    static across benchmark iterations (the reference exchanges gradients,
+    not state; SURVEY.md §4.2), so this slow XLA gather is off the hot path."""
+    nb, ep = ext_idx.shape
+    g = jnp.take(var_T, ext_idx.reshape(-1), axis=1)     # (NV, nb*EP)
+    return jnp.moveaxis(g.reshape(NV, nb, ep), 0, 1)

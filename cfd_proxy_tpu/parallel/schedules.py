@@ -72,4 +72,19 @@ def step_overlap(
     return step_early(var, ds, halo, axis_name, exact=exact)
 
 
-STEP_FNS = {"bulk": step_bulk, "early": step_early, "overlap": step_overlap}
+def step_nocomm(
+    var: jax.Array, ds: DeviceSweep, halo: DeviceHalo, axis_name: str,
+    *, exact: bool = False,
+) -> jax.Array:
+    # measurement aid, not a reference variant: sweep without the exchange —
+    # the compute-only floor used to compute overlap efficiency (SURVEY.md §6)
+    g = sweep_bulk(var, ds, exact=exact)
+    return scale_owned(g, ds)
+
+
+STEP_FNS = {
+    "bulk": step_bulk,
+    "early": step_early,
+    "overlap": step_overlap,
+    "nocomm": step_nocomm,
+}

@@ -1,0 +1,230 @@
+"""Benchmark driver CLI — the `solver.c` / `cfd_proxy.c` `main` analogue.
+
+Mirrors the reference driver's structure (SURVEY.md §4.1/§4.2): obtain a
+partitioned mesh (read netCDF files, or generate+partition in-process), set up
+comm metadata and sweep plans, loop over comm variants × iterations, time
+each, verify variants against the bulk-sync reference result, and print a
+min/median/max table with speedups.
+
+Usage examples:
+    python -m cfd_proxy_tpu.solver --nx 40 --ny 40 --nz 40 --parts 4 \
+        --schedule all --iters 20
+    python -m cfd_proxy_tpu.solver --mesh data/m --parts 8 --schedule overlap
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from dataclasses import dataclass
+
+import numpy as np
+
+from cfd_proxy_tpu.mesh.generator import generate_mesh, make_state
+from cfd_proxy_tpu.mesh.partition import partition_mesh
+from cfd_proxy_tpu.mesh.reader import partition_path, read_partition
+from cfd_proxy_tpu.parallel.schedules import SCHEDULES
+from cfd_proxy_tpu.utils.timing import IterationStats, format_stats_table
+
+
+@dataclass
+class SolverConfig:
+    nx: int = 24
+    ny: int = 24
+    nz: int = 24
+    mesh_prefix: str | None = None
+    parts: int = 1
+    ghost_layers: int = 1
+    nvar: int = 7          # TAU-like variable count (SURVEY.md §4.3 [M])
+    iters: int = 20
+    warmup: int = 3
+    schedule: str = "all"
+    dtype: str = "float32"
+    diag_frac: float = 0.2
+    jitter: float = 0.05
+    seed: int = 0
+    verify: bool = True
+    json_out: bool = False
+
+
+def build_model(cfg: SolverConfig):
+    import jax.numpy as jnp
+
+    from cfd_proxy_tpu.models import GreenGaussModel
+
+    if cfg.mesh_prefix:
+        parts = [
+            read_partition(partition_path(cfg.mesh_prefix, i, cfg.parts))
+            for i in range(cfg.parts)
+        ]
+        gmesh = None
+    else:
+        gmesh = generate_mesh(
+            cfg.nx, cfg.ny, cfg.nz, jitter=cfg.jitter, diag_frac=cfg.diag_frac,
+            seed=cfg.seed,
+        )
+        parts = partition_mesh(gmesh, cfg.parts, ghost_layers=cfg.ghost_layers)
+    dtype = {"float32": jnp.float32, "float64": jnp.float64}[cfg.dtype]
+    model = GreenGaussModel(parts, cfg.nvar, dtype=dtype)
+    return model, gmesh
+
+
+def _sync_scalar(out) -> float:
+    """Force completion by pulling ONE scalar to the host (device→host bulk
+    transfers and block_until_ready are unreliable/slow over the axon tunnel)."""
+    return float(np.asarray(out[(0,) * out.ndim]))
+
+
+def time_schedule(
+    model, var, schedule: str, iters: int, warmup: int, repeats: int = 3
+) -> IterationStats:
+    """Two-point timing: run chained loops of n0 and n0+iters iterations in
+    single dispatches; the difference isolates per-iteration time from the
+    per-dispatch overhead (~30 ms through the tunnel)."""
+    del warmup  # compile of both runners is the warmup
+    n0 = max(1, iters // 10)
+    small = model.iterate_fn(schedule, n0)
+    big = model.iterate_fn(schedule, n0 + iters)
+    _sync_scalar(small(var, model.dsweep, model.halo))  # compile
+    _sync_scalar(big(var, model.dsweep, model.halo))    # compile
+    stats = IterationStats(schedule)
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        _sync_scalar(big(var, model.dsweep, model.halo))
+        t_big = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _sync_scalar(small(var, model.dsweep, model.halo))
+        t_small = time.perf_counter() - t0
+        stats.add(max(t_big - t_small, 1e-9) / iters)
+    return stats
+
+
+def run(cfg: SolverConfig) -> dict:
+    import jax
+
+    model, gmesh = build_model(cfg)
+    nface_total = sum(p.nface for p in model.parts)
+    npoint_total = sum(p.nowned for p in model.parts)
+
+    rng_state = make_state(npoint_total, cfg.nvar, seed=cfg.seed + 1)
+    var = model.distribute_state(rng_state)
+
+    schedules = list(SCHEDULES) if cfg.schedule == "all" else [cfg.schedule]
+    all_stats: list[IterationStats] = []
+    results: dict = {
+        "device": str(jax.devices()[0]),
+        "npart": len(model.parts),
+        "npoint": npoint_total,
+        "nface": nface_total,
+        "nvar": cfg.nvar,
+        "dtype": cfg.dtype,
+        "iters": cfg.iters,
+        "schedules": {},
+    }
+
+    # compute-only floor, for overlap efficiency
+    nocomm = time_schedule(model, var, "nocomm", cfg.iters, cfg.warmup)
+    bulk_med = None
+    for s in schedules:
+        st = time_schedule(model, var, s, cfg.iters, cfg.warmup)
+        all_stats.append(st)
+        if s == "bulk":
+            bulk_med = st.median
+        entry = st.summary()
+        entry["faces_per_sec"] = nface_total / st.median
+        results["schedules"][s] = entry
+    all_stats.append(nocomm)
+
+    comm_cost = (bulk_med - nocomm.median) if bulk_med else None
+    for s in schedules:
+        if comm_cost and comm_cost > 0 and s != "bulk":
+            exposed = results["schedules"][s]["median_s"] - nocomm.median
+            results["schedules"][s]["overlap_efficiency"] = float(
+                np.clip(1.0 - exposed / comm_cost, 0.0, 1.0)
+            )
+
+    if cfg.verify:
+        results["verification"] = verify_model(model, var, schedules, gmesh, rng_state)
+
+    return results, all_stats
+
+
+def verify_model(model, var, schedules, gmesh, gvar) -> dict:
+    """Cross-variant verification — every schedule vs bulk-sync reference
+    (reference semantics: SURVEY.md §4b), plus vs the NumPy golden when the
+    global mesh is available in-process."""
+    import jax.numpy as jnp
+
+    ref = model.step(var, "bulk")
+    out = {}
+    for s in schedules:
+        if s == "bulk":
+            continue
+        g = model.step(var, s)
+        # reduce on device, pull one scalar (bulk device→host is slow on axon)
+        out[f"{s}_vs_bulk_maxabs"] = float(jnp.abs(g - ref).max())
+    small_enough = ref.size < 20_000_000
+    if gmesh is not None and small_enough:
+        from cfd_proxy_tpu.ops.golden import compute_gradients_gg, scale_gradients
+
+        gg = scale_gradients(
+            compute_gradients_gg(gvar.astype(np.float64), gmesh.faces, gmesh.normals),
+            gmesh.volume, gmesh.npoint,
+        ).reshape(gmesh.npoint, -1)
+        got = model.gather_global(ref)
+        denom = max(1.0, float(np.abs(gg).max()))
+        out["bulk_vs_golden_relmax"] = float(np.abs(got - gg).max() / denom)
+    return out
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="cfd_proxy_tpu.solver",
+        description="TPU-native CFD-Proxy benchmark driver",
+    )
+    ap.add_argument("--nx", type=int, default=24)
+    ap.add_argument("--ny", type=int, default=24)
+    ap.add_argument("--nz", type=int, default=24)
+    ap.add_argument("--mesh", dest="mesh_prefix", default=None,
+                    help="read pre-partitioned netCDF files <prefix>.<P>p.<i>.nc")
+    ap.add_argument("--parts", type=int, default=1)
+    ap.add_argument("--ghost-layers", type=int, default=1)
+    ap.add_argument("--nvar", type=int, default=7)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--schedule", default="all", choices=["all", *SCHEDULES])
+    ap.add_argument("--dtype", default="float32", choices=["float32", "float64"])
+    ap.add_argument("--diag-frac", type=float, default=0.2)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--no-verify", action="store_true")
+    ap.add_argument("--json", action="store_true", help="emit one JSON line")
+    args = ap.parse_args(argv)
+
+    cfg = SolverConfig(
+        nx=args.nx, ny=args.ny, nz=args.nz, mesh_prefix=args.mesh_prefix,
+        parts=args.parts, ghost_layers=args.ghost_layers, nvar=args.nvar,
+        iters=args.iters, warmup=args.warmup, schedule=args.schedule,
+        dtype=args.dtype, diag_frac=args.diag_frac, seed=args.seed,
+        verify=not args.no_verify, json_out=args.json,
+    )
+    results, stats = run(cfg)
+    if cfg.json_out:
+        print(json.dumps(results))
+    else:
+        print(f"device={results['device']} parts={results['npart']} "
+              f"points={results['npoint']} faces={results['nface']} "
+              f"nvar={results['nvar']} dtype={results['dtype']}")
+        print(format_stats_table(stats, ref="bulk"))
+        for s, e in results["schedules"].items():
+            extra = (f"  overlap_eff={e['overlap_efficiency']:.1%}"
+                     if "overlap_efficiency" in e else "")
+            print(f"{s:<10} {e['faces_per_sec'] / 1e6:9.2f} Mfaces/s{extra}")
+        if "verification" in results:
+            for k, v in results["verification"].items():
+                print(f"verify {k} = {v:.3e}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
