@@ -9,8 +9,9 @@ vs_baseline is measured against this machine's CPU golden path (NumPy
 `compute_gradients_gg`, the C-semantics sequential loop) — the stand-in
 denominator until real 2-socket node numbers exist (BASELINE.md).
 
-Env knobs: BENCH_NX (grid edge, default 96 on TPU / 24 on CPU),
-BENCH_ITERS (default 30), BENCH_SCHEDULE (default bulk).
+Env knobs: BENCH_NX (grid edge, default 96 on TPU / 16 on CPU),
+BENCH_ITERS (default 100), BENCH_SCHEDULE (default bulk),
+BENCH_BACKEND (default pallas).
 """
 
 import json
@@ -46,20 +47,22 @@ def measure_cpu_golden(nx: int = 32) -> float:
 def main() -> int:
     import jax
 
-    backend = jax.default_backend()
-    on_tpu = backend == "tpu"
-    nx = int(os.environ.get("BENCH_NX", "96" if on_tpu else "24"))
-    iters = int(os.environ.get("BENCH_ITERS", "30"))
+    platform = jax.default_backend()
+    on_tpu = platform == "tpu"
+    nx = int(os.environ.get("BENCH_NX", "96" if on_tpu else "16"))
+    iters = int(os.environ.get("BENCH_ITERS", "100"))
     schedule = os.environ.get("BENCH_SCHEDULE", "bulk")
-    log(f"backend={backend} devices={jax.devices()} nx={nx} iters={iters}")
+    backend = os.environ.get("BENCH_BACKEND", "pallas")
+    log(f"platform={platform} devices={jax.devices()} nx={nx} iters={iters} "
+        f"backend={backend}")
 
-    cpu_fps = measure_cpu_golden(24 if not on_tpu else 32)
+    cpu_fps = measure_cpu_golden(16 if not on_tpu else 32)
 
     from cfd_proxy_tpu.solver import SolverConfig, run
 
     cfg = SolverConfig(
         nx=nx, ny=nx, nz=nx, parts=1, nvar=7, iters=iters, warmup=3,
-        schedule=schedule, dtype="float32", verify=False,
+        schedule=schedule, backend=backend, dtype="float32", verify=False,
     )
     t0 = time.perf_counter()
     results, _stats = run(cfg)
@@ -72,6 +75,7 @@ def main() -> int:
         "value": float(fps),
         "unit": "faces/s",
         "vs_baseline": float(fps / cpu_fps),
+        "platform": platform,
         "backend": backend,
         "nface": results["nface"],
         "schedule": schedule,

@@ -151,6 +151,63 @@ def partition_mesh(
     return parts
 
 
+def relabel_owned(part: MeshPartition, new_of_old: np.ndarray) -> MeshPartition:
+    """Renumber OWNED points by a permutation (ghost numbering unchanged).
+
+    Used to apply a locality ordering (RCB) so that VMEM-block-sized ranges of
+    owned points are geometrically compact — the TPU analogue of the cache-
+    blocking the reference gets from its per-thread rangelist face sort
+    (SURVEY.md §2 L3).  Ghost ordering is preserved because recvidx ranges
+    must stay contiguous per comm entry (contiguous unpack on device).
+    """
+    nowned = part.nowned
+    check(new_of_old.shape == (nowned,), "perm must cover owned points")
+    full = np.arange(part.npoint)
+    full[:nowned] = new_of_old
+    old_of_new = np.empty(part.npoint, dtype=np.int64)
+    old_of_new[full] = np.arange(part.npoint)
+
+    faces = full[part.faces]
+    normals = part.normals.copy()
+    swap = faces[:, 0] > faces[:, 1]
+    faces[swap] = faces[swap][:, ::-1]
+    normals[swap] = -normals[swap]
+
+    comm = [
+        CommEntry(
+            partner=e.partner,
+            round=e.round,
+            sendidx=full[e.sendidx].astype(np.int32),
+            recvidx=e.recvidx.copy(),      # ghosts unchanged
+        )
+        for e in part.comm
+    ]
+    out = MeshPartition(
+        part_id=part.part_id,
+        npart=part.npart,
+        nowned=nowned,
+        coords=part.coords[old_of_new],
+        global_ids=part.global_ids[old_of_new],
+        faces=faces.astype(np.int32),
+        normals=normals,
+        volume=part.volume[old_of_new],
+        comm=comm,
+    )
+    out.validate()
+    return out
+
+
+def rcb_owned_order(part: MeshPartition, *, block: int = 256) -> np.ndarray:
+    """RCB-based locality permutation for the owned points (new id of old)."""
+    nowned = part.nowned
+    nblk = max(1, nowned // block)
+    blk = rcb_assign(part.coords[:nowned], nblk)
+    order = np.argsort(blk, kind="stable")     # old ids in new order
+    new_of_old = np.empty(nowned, dtype=np.int64)
+    new_of_old[order] = np.arange(nowned)
+    return new_of_old
+
+
 def send_point_set(part: MeshPartition) -> np.ndarray:
     """Owned points referenced by any sendidx — the halo-adjacent set whose
     gradients must be final before the exchange can fire (the reference's

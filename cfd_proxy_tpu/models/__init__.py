@@ -7,5 +7,6 @@ metadata, and jitted per-schedule step functions.
 """
 
 from cfd_proxy_tpu.models.gradients import GreenGaussModel
+from cfd_proxy_tpu.models.gradients_pallas import GreenGaussPallas
 
-__all__ = ["GreenGaussModel"]
+__all__ = ["GreenGaussModel", "GreenGaussPallas"]

@@ -145,6 +145,9 @@ class GreenGaussModel:
     def step(self, var: jax.Array, schedule: str = "overlap", *, exact: bool = False):
         return self.step_fn(schedule, exact=exact)(var, self.dsweep, self.halo)
 
+    def iter_args(self, state) -> tuple:
+        return (state, self.dsweep, self.halo)
+
     def iterate_fn(self, schedule: str, n: int, *, exact: bool = False):
         """Jitted n-iteration chained runner for benchmarking.
 
@@ -154,23 +157,23 @@ class GreenGaussModel:
         real iterations (the tunnel's dispatch overhead and the async
         block_until_ready semantics make per-call host timing meaningless).
         """
-        key = ("iterate", schedule, n, exact)
+        key = ("iterate", schedule, exact)
         if key not in self._step_cache:
             step = self.step_fn(schedule, exact=exact)
             nvar = self.nvar
             eps = jnp.asarray(1e-30, self.dtype)
 
             @jax.jit
-            def run_n(var, dsw, halo):
-                def body(v, _):
+            def run_n(n, var, dsw, halo):
+                def body(_i, v):
                     g = step(v, dsw, halo)
-                    return v + eps * g[..., :nvar], None
+                    return v + eps * g[..., :nvar]
 
-                v, _ = jax.lax.scan(body, var, None, length=n)
-                return v
+                return jax.lax.fori_loop(0, n, body, var)
 
             self._step_cache[key] = run_n
-        return self._step_cache[key]
+        runner = self._step_cache[key]
+        return lambda *args: runner(n, *args)
 
     # ------------------------------------------------------------- gather
 

@@ -81,6 +81,11 @@ def build_block_plan(
 ) -> BlockPlan:
     check(npoint_dev % bp == 0, "npoint_dev %d not a multiple of bp %d", npoint_dev, bp)
     check(bp % LANE == 0, "bp must be a multiple of 128")
+    native = _build_block_plan_native(
+        faces, normals, npoint_dev, inv_scale, bp, face_sel, all_blocks, pads
+    )
+    if native is not None:
+        return native
     F = faces.shape[0]
     if face_sel is None:
         fsel = np.arange(F)
@@ -161,6 +166,69 @@ def build_block_plan(
     )
 
 
+def _build_block_plan_native(faces, normals, npoint_dev, inv_scale, bp,
+                             face_sel, all_blocks, pads) -> BlockPlan | None:
+    """Native (C++) fast path — same semantics as the NumPy construction.
+
+    Built by `make -C native`; returns None (→ NumPy fallback) if absent."""
+    import ctypes
+
+    from cfd_proxy_tpu.native import lib, ptr
+
+    L = lib()
+    if L is None:
+        return None
+    faces_c = np.ascontiguousarray(faces, np.int32)
+    normals_c = np.ascontiguousarray(normals, np.float64)
+    F = faces_c.shape[0]
+    sel = (None if face_sel is None
+           else np.ascontiguousarray(face_sel, np.uint8))
+    sel_p = None if sel is None else ptr(sel, ctypes.c_uint8)
+    nblk_total = npoint_dev // bp
+    kmax = ctypes.c_int32(0)
+    extmax = ctypes.c_int32(0)
+    touched = np.zeros(nblk_total, np.uint8)
+    rc = L.cfd_plan_sizes(
+        ptr(faces_c, ctypes.c_int32), F, sel_p, npoint_dev, bp,
+        ctypes.byref(kmax), ctypes.byref(extmax), ptr(touched, ctypes.c_uint8),
+    )
+    check(rc == 0, "cfd_plan_sizes failed rc=%d", rc)
+    ep = round_up(max(int(extmax.value), 1), LANE)
+    ks = max(int(kmax.value), 1)
+    if pads is not None:
+        check(pads[0] >= ep, "pads ep %d < required %d", pads[0], ep)
+        check(pads[1] >= ks, "pads kslots %d < required %d", pads[1], ks)
+        ep, ks = pads
+
+    slot_idx = np.zeros((nblk_total, ks, bp), np.int32)
+    slot_w = np.zeros((nblk_total, ks, 3, bp), np.float32)
+    ext_idx = np.zeros((nblk_total, ep), np.int32)
+    ext_cnt = np.zeros(nblk_total, np.int32)
+    rc = L.cfd_plan_fill(
+        ptr(faces_c, ctypes.c_int32), F, ptr(normals_c, ctypes.c_double),
+        sel_p, npoint_dev, bp, ks, ep,
+        ptr(slot_idx, ctypes.c_int32), ptr(slot_w, ctypes.c_float),
+        ptr(ext_idx, ctypes.c_int32), ptr(ext_cnt, ctypes.c_int32),
+    )
+    check(rc == 0, "cfd_plan_fill failed rc=%d", rc)
+
+    if all_blocks:
+        blocks = np.arange(nblk_total)
+    else:
+        blocks = np.flatnonzero(touched)
+        if blocks.size == 0:
+            blocks = np.zeros(1, np.int64)
+    scale = np.zeros((len(blocks), 1, bp), np.float32)
+    for bi, b in enumerate(blocks):
+        scale[bi, 0, :] = inv_scale[b * bp : (b + 1) * bp]
+    return BlockPlan(
+        npoint_dev=npoint_dev, bp=bp, ep=ep, kslots=ks, nblocks=len(blocks),
+        block_ids=blocks.astype(np.int32),
+        slot_idx=slot_idx[blocks], slot_w=slot_w[blocks],
+        ext_idx=ext_idx[blocks], scale=scale,
+    )
+
+
 # ------------------------------------------------------------------ kernel
 
 def _sweep_kernel(bp: int, ep: int, kslots: int, accumulate: bool):
@@ -177,6 +245,9 @@ def _sweep_kernel(bp: int, ep: int, kslots: int, accumulate: bool):
         tbl = jnp.concatenate([own_ref[:], ext_ref[0]], axis=1)  # (NV, W)
         for t in range(ntile):
             own_tile = own_ref[:, t * LANE : (t + 1) * LANE]      # (NV, 128)
+
+            # K loop statically unrolled: Mosaic cannot dynamically index the
+            # sublane axis of the slot tables ("unaligned dynamic load")
             acc = jnp.zeros((3 * NV, LANE), jnp.float32)
             for k in range(kslots):
                 idx = sidx_ref[0, k, t * LANE : (t + 1) * LANE]   # (128,)

@@ -1,0 +1,125 @@
+"""Transposed device layout: point-column mapping + halo for the Pallas path.
+
+Device state layout (per shard, uniform across shards):
+
+    [ owned cols 0..nowned | pad to owned_pad | phase-0 ghost region (s_max) |
+      phase-1 ghost region (s_max) | ... | pad to multiple of bp ]
+
+Every comm entry is one edge of one ppermute phase (parallel/topology.py), and
+each phase owns a RESERVED s_max-column ghost region at a STATIC offset — so
+halo unpack is one `dynamic_update_slice` per phase at a compile-time
+position, on every device, with padding lanes landing in reserved trash
+columns.  This removes every scatter from the exchange (XLA scatter measured
+3 GB/s on v5e): pack is a fast column gather, transfer is ppermute, unpack is
+a contiguous store.  Reference counterpart: the recvidx ghost scatter of
+`exchange_dbl_*` unpack (SURVEY.md §4.5) — made contiguous by construction.
+
+Ghost column positions mirror the SENDER's pack order (position-matched
+buffers, like the reference's paired send/recv lists), so no index translation
+happens at runtime at all.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from cfd_proxy_tpu.mesh.model import MeshPartition
+from cfd_proxy_tpu.parallel.topology import HaloTopology
+from cfd_proxy_tpu.utils.errors import check
+
+LANE = 128
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass
+class TLayout:
+    """Host-side transposed device layout for P shards."""
+
+    bp: int
+    owned_pad: int
+    s_max: int
+    nphases: int
+    ndev: int
+    perms: list            # perms[k] = tuple of (src, dst) pairs (static)
+    locmap: list           # per part: (npoint,) local id -> device column
+    send_idx: np.ndarray   # (P, nphases, s_max) i32 device columns, pad 0
+    send_mask: np.ndarray  # (P, nphases, s_max) f32 1.0 on real lanes, 0 pad
+
+    @property
+    def ghost_start(self) -> int:
+        return self.owned_pad
+
+
+def build_tlayout(
+    parts: list[MeshPartition], topo: HaloTopology, *, bp: int = 256
+) -> TLayout:
+    P = len(parts)
+    owned_pad = round_up(max(p.nowned for p in parts), bp)
+    s_max = round_up(max(topo.max_phase_size(), 1), LANE)
+    nphases = max(topo.nphases, 1)
+    # +bp: a dedicated trailing TRASH block that no real point maps to — the
+    # safe target for padded grid entries (revisiting a real block from a pad
+    # entry races with pipelined block prefetch)
+    ndev = round_up(owned_pad + nphases * s_max, bp) + bp
+
+    locmap = []
+    for p in parts:
+        lm = np.full(p.npoint, -1, dtype=np.int64)
+        lm[: p.nowned] = np.arange(p.nowned)
+        locmap.append(lm)
+
+    send_idx = np.zeros((P, nphases, s_max), dtype=np.int32)
+    send_mask = np.zeros((P, nphases, s_max), dtype=np.float32)
+    perms = []
+    for k, ph in enumerate(topo.phases):
+        perms.append(tuple(ph.perm))
+        s = ph.send_idx.shape[1]
+        send_idx[:, k, :s] = ph.send_idx
+        for (src, _dst) in ph.perm:
+            # real lanes = the entry's actual send count for that src
+            cnt = int((ph.recv_idx[_dst] < topo.npoint_pad).sum())
+            send_mask[src, k, :cnt] = 1.0
+        for d in range(P):
+            recv = ph.recv_idx[d]
+            valid = recv < topo.npoint_pad            # OOB marker = pad
+            pos = np.flatnonzero(valid)
+            locmap[d][recv[pos]] = owned_pad + k * s_max + pos
+    while len(perms) < nphases:
+        perms.append(())
+
+    for d, p in enumerate(parts):
+        check(int(locmap[d].min(initial=0)) >= 0,
+              "ghost point unmapped on shard %d", d)
+    return TLayout(
+        bp=bp, owned_pad=owned_pad, s_max=s_max, nphases=nphases, ndev=ndev,
+        perms=perms, locmap=locmap, send_idx=send_idx, send_mask=send_mask,
+    )
+
+
+def device_faces(part: MeshPartition, lay: TLayout) -> tuple[np.ndarray, np.ndarray]:
+    """Faces/normals in device-column coordinates for one shard."""
+    lm = lay.locmap[part.part_id]
+    return lm[part.faces].astype(np.int32), part.normals
+
+
+def device_inv_scale(part: MeshPartition, lay: TLayout) -> np.ndarray:
+    """1/V at owned device columns, 0 at ghosts/padding (ghost grads are
+    overwritten by the exchange; zero-scaling keeps them deterministic)."""
+    s = np.zeros(lay.ndev, dtype=np.float64)
+    s[: part.nowned] = 1.0 / part.volume[: part.nowned]
+    return s
+
+
+def device_state(values: np.ndarray, part: MeshPartition, lay: TLayout,
+                 nv_pad: int) -> np.ndarray:
+    """(npoint, nvar) host state -> (NV, ndev) transposed device state."""
+    nvar = values.shape[1]
+    check(nvar <= nv_pad, "nvar %d exceeds padded NV %d", nvar, nv_pad)
+    out = np.zeros((nv_pad, lay.ndev), dtype=values.dtype)
+    out[:nvar, lay.locmap[part.part_id]] = values.T
+    return out

@@ -40,6 +40,7 @@ class SolverConfig:
     iters: int = 20
     warmup: int = 3
     schedule: str = "all"
+    backend: str = "pallas"     # pallas (production) | xla (reference)
     dtype: str = "float32"
     diag_frac: float = 0.2
     jitter: float = 0.05
@@ -65,8 +66,15 @@ def build_model(cfg: SolverConfig):
             seed=cfg.seed,
         )
         parts = partition_mesh(gmesh, cfg.parts, ghost_layers=cfg.ghost_layers)
-    dtype = {"float32": jnp.float32, "float64": jnp.float64}[cfg.dtype]
-    model = GreenGaussModel(parts, cfg.nvar, dtype=dtype)
+    if cfg.backend == "pallas":
+        from cfd_proxy_tpu.models import GreenGaussPallas
+
+        if cfg.dtype != "float32":
+            raise SystemExit("pallas backend is float32; use --backend xla for f64")
+        model = GreenGaussPallas(parts, cfg.nvar)
+    else:
+        dtype = {"float32": jnp.float32, "float64": jnp.float64}[cfg.dtype]
+        model = GreenGaussModel(parts, cfg.nvar, dtype=dtype)
     return model, gmesh
 
 
@@ -86,15 +94,16 @@ def time_schedule(
     n0 = max(1, iters // 10)
     small = model.iterate_fn(schedule, n0)
     big = model.iterate_fn(schedule, n0 + iters)
-    _sync_scalar(small(var, model.dsweep, model.halo))  # compile
-    _sync_scalar(big(var, model.dsweep, model.halo))    # compile
+    args = model.iter_args(var)
+    _sync_scalar(small(*args))  # compile
+    _sync_scalar(big(*args))    # compile
     stats = IterationStats(schedule)
     for _ in range(repeats):
         t0 = time.perf_counter()
-        _sync_scalar(big(var, model.dsweep, model.halo))
+        _sync_scalar(big(*args))
         t_big = time.perf_counter() - t0
         t0 = time.perf_counter()
-        _sync_scalar(small(var, model.dsweep, model.halo))
+        _sync_scalar(small(*args))
         t_small = time.perf_counter() - t0
         stats.add(max(t_big - t_small, 1e-9) / iters)
     return stats
@@ -119,12 +128,16 @@ def run(cfg: SolverConfig) -> dict:
         "nface": nface_total,
         "nvar": cfg.nvar,
         "dtype": cfg.dtype,
+        "backend": cfg.backend,
         "iters": cfg.iters,
         "schedules": {},
     }
 
-    # compute-only floor, for overlap efficiency
-    nocomm = time_schedule(model, var, "nocomm", cfg.iters, cfg.warmup)
+    # compute-only floor, for overlap efficiency (only worth a compile when
+    # several schedules are being compared)
+    nocomm = None
+    if len(schedules) > 1:
+        nocomm = time_schedule(model, var, "nocomm", cfg.iters, cfg.warmup)
     bulk_med = None
     for s in schedules:
         st = time_schedule(model, var, s, cfg.iters, cfg.warmup)
@@ -134,15 +147,15 @@ def run(cfg: SolverConfig) -> dict:
         entry = st.summary()
         entry["faces_per_sec"] = nface_total / st.median
         results["schedules"][s] = entry
-    all_stats.append(nocomm)
-
-    comm_cost = (bulk_med - nocomm.median) if bulk_med else None
-    for s in schedules:
-        if comm_cost and comm_cost > 0 and s != "bulk":
-            exposed = results["schedules"][s]["median_s"] - nocomm.median
-            results["schedules"][s]["overlap_efficiency"] = float(
-                np.clip(1.0 - exposed / comm_cost, 0.0, 1.0)
-            )
+    if nocomm is not None:
+        all_stats.append(nocomm)
+        comm_cost = (bulk_med - nocomm.median) if bulk_med else None
+        for s in schedules:
+            if comm_cost and comm_cost > 0 and s != "bulk":
+                exposed = results["schedules"][s]["median_s"] - nocomm.median
+                results["schedules"][s]["overlap_efficiency"] = float(
+                    np.clip(1.0 - exposed / comm_cost, 0.0, 1.0)
+                )
 
     if cfg.verify:
         results["verification"] = verify_model(model, var, schedules, gmesh, rng_state)
@@ -194,6 +207,7 @@ def main(argv=None) -> int:
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--schedule", default="all", choices=["all", *SCHEDULES])
+    ap.add_argument("--backend", default="pallas", choices=["pallas", "xla"])
     ap.add_argument("--dtype", default="float32", choices=["float32", "float64"])
     ap.add_argument("--diag-frac", type=float, default=0.2)
     ap.add_argument("--seed", type=int, default=0)
@@ -205,7 +219,8 @@ def main(argv=None) -> int:
         nx=args.nx, ny=args.ny, nz=args.nz, mesh_prefix=args.mesh_prefix,
         parts=args.parts, ghost_layers=args.ghost_layers, nvar=args.nvar,
         iters=args.iters, warmup=args.warmup, schedule=args.schedule,
-        dtype=args.dtype, diag_frac=args.diag_frac, seed=args.seed,
+        backend=args.backend, dtype=args.dtype, diag_frac=args.diag_frac,
+        seed=args.seed,
         verify=not args.no_verify, json_out=args.json,
     )
     results, stats = run(cfg)

@@ -1,0 +1,167 @@
+// Native mesh-preprocessing kernels for cfd_proxy_tpu.
+//
+// The reference implements its rangelist/comm setup in C (rangelist.c,
+// setup_comm.c; SURVEY.md §2 L2/L3); this is the rebuild's native equivalent:
+// the block-plan construction of ops/blocksweep.py (directed-incidence slot
+// tables + per-block ext lists), which dominates host-side setup time on
+// multi-million-face meshes in the NumPy implementation.
+//
+// Key algorithmic choice vs the NumPy path: incidences are bucketed by
+// destination point with a counting sort while ITERATING FACES IN ORDER
+// (side 0 then side 1 per face), which makes each point's slot order equal to
+// incidence-id order with no comparison sort at all — O(F) total.
+//
+// Exposed via a C ABI for ctypes (no pybind11 in this environment).
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// Pass 1: sizes.  Computes per-class maxima needed to allocate outputs.
+//   kmax_out:   max slots per point
+//   extmax_out: max unique external endpoints per block
+//   touched:    (npoint_dev/bp,) 1 if any selected face targets the block
+// Returns 0 on success, nonzero on invalid input.
+int cfd_plan_sizes(const int32_t* faces, int64_t nface,
+                   const uint8_t* face_sel, int64_t npoint_dev, int32_t bp,
+                   int32_t* kmax_out, int32_t* extmax_out, uint8_t* touched) {
+  if (npoint_dev % bp != 0) return 1;
+  const int64_t nblk = npoint_dev / bp;
+  std::vector<int32_t> deg(npoint_dev, 0);
+  std::memset(touched, 0, nblk);
+
+  for (int64_t f = 0; f < nface; ++f) {
+    if (face_sel && !face_sel[f]) continue;
+    const int32_t p0 = faces[2 * f], p1 = faces[2 * f + 1];
+    deg[p0]++;
+    deg[p1]++;
+    touched[p0 / bp] = 1;
+    touched[p1 / bp] = 1;
+  }
+  int32_t kmax = 0;
+  for (int64_t p = 0; p < npoint_dev; ++p) kmax = std::max(kmax, deg[p]);
+
+  // ext counting per block: bucket cross-block endpoints, dedup per block
+  std::vector<int32_t> extcnt(nblk, 0);
+  {
+    std::vector<int32_t> cnt(nblk, 0);
+    std::vector<int64_t> tmp;
+    std::vector<int64_t> off(nblk + 1, 0);
+    for (int64_t f = 0; f < nface; ++f) {
+      if (face_sel && !face_sel[f]) continue;
+      const int32_t p0 = faces[2 * f], p1 = faces[2 * f + 1];
+      const int64_t b0 = p0 / bp, b1 = p1 / bp;
+      if (b1 != b0) cnt[b0]++;
+      if (b0 != b1) cnt[b1]++;
+    }
+    for (int64_t b = 0; b < nblk; ++b) off[b + 1] = off[b] + cnt[b];
+    tmp.resize(off[nblk]);
+    std::vector<int64_t> pos(off.begin(), off.end() - 1);
+    for (int64_t f = 0; f < nface; ++f) {
+      if (face_sel && !face_sel[f]) continue;
+      const int32_t p0 = faces[2 * f], p1 = faces[2 * f + 1];
+      const int64_t b0 = p0 / bp, b1 = p1 / bp;
+      if (b1 != b0) tmp[pos[b0]++] = p1;
+      if (b0 != b1) tmp[pos[b1]++] = p0;
+    }
+    for (int64_t b = 0; b < nblk; ++b) {
+      auto lo = tmp.begin() + off[b], hi = tmp.begin() + off[b + 1];
+      std::sort(lo, hi);
+      extcnt[b] = static_cast<int32_t>(std::unique(lo, hi) - lo);
+    }
+  }
+  int32_t extmax = 0;
+  for (int64_t b = 0; b < nblk; ++b) extmax = std::max(extmax, extcnt[b]);
+  *kmax_out = kmax;
+  *extmax_out = extmax;
+  return 0;
+}
+
+// Pass 2: fill slot tables in ALL-BLOCKS layout (caller compacts rows).
+//   slot_idx: (nblk, K, bp) int32, zero-filled by caller
+//   slot_w:   (nblk, K, 3, bp) float32, zero-filled by caller
+//   ext_idx:  (nblk, ep) int32, zero-filled by caller
+//   ext_cnt:  (nblk,) int32
+// Slot W-indexing: own columns [0,bp), ext columns bp+rank (rank in the
+// block's sorted ext list).
+int cfd_plan_fill(const int32_t* faces, int64_t nface, const double* normals,
+                  const uint8_t* face_sel, int64_t npoint_dev, int32_t bp,
+                  int32_t kslots, int32_t ep, int32_t* slot_idx, float* slot_w,
+                  int32_t* ext_idx, int32_t* ext_cnt) {
+  if (npoint_dev % bp != 0) return 1;
+  const int64_t nblk = npoint_dev / bp;
+
+  // rebuild per-block sorted ext lists (as in pass 1)
+  std::vector<int64_t> off(nblk + 1, 0);
+  std::vector<int64_t> tmp;
+  {
+    std::vector<int32_t> cnt(nblk, 0);
+    for (int64_t f = 0; f < nface; ++f) {
+      if (face_sel && !face_sel[f]) continue;
+      const int32_t p0 = faces[2 * f], p1 = faces[2 * f + 1];
+      const int64_t b0 = p0 / bp, b1 = p1 / bp;
+      if (b1 != b0) cnt[b0]++;
+      if (b0 != b1) cnt[b1]++;
+    }
+    for (int64_t b = 0; b < nblk; ++b) off[b + 1] = off[b] + cnt[b];
+    tmp.resize(off[nblk]);
+    std::vector<int64_t> pos(off.begin(), off.end() - 1);
+    for (int64_t f = 0; f < nface; ++f) {
+      if (face_sel && !face_sel[f]) continue;
+      const int32_t p0 = faces[2 * f], p1 = faces[2 * f + 1];
+      const int64_t b0 = p0 / bp, b1 = p1 / bp;
+      if (b1 != b0) tmp[pos[b0]++] = p1;
+      if (b0 != b1) tmp[pos[b1]++] = p0;
+    }
+  }
+  std::vector<int64_t> ext_off(nblk + 1, 0);
+  for (int64_t b = 0; b < nblk; ++b) {
+    auto lo = tmp.begin() + off[b], hi = tmp.begin() + off[b + 1];
+    std::sort(lo, hi);
+    const int64_t n = std::unique(lo, hi) - lo;
+    if (n > ep) return 2;
+    for (int64_t i = 0; i < n; ++i)
+      ext_idx[b * ep + i] = static_cast<int32_t>(*(lo + i));
+    ext_cnt[b] = static_cast<int32_t>(n);
+  }
+
+  // slot fill: iterate faces in order (side 0 then 1) -> incidence-id order
+  std::vector<int32_t> used(npoint_dev, 0);
+  const int64_t kbp = static_cast<int64_t>(kslots) * bp;
+  for (int64_t f = 0; f < nface; ++f) {
+    if (face_sel && !face_sel[f]) continue;
+    const double nx = normals[3 * f], ny = normals[3 * f + 1],
+                 nz = normals[3 * f + 2];
+    for (int side = 0; side < 2; ++side) {
+      const int32_t dstp = faces[2 * f + side];
+      const int32_t othp = faces[2 * f + (1 - side)];
+      const double s = side == 0 ? 1.0 : -1.0;
+      const int64_t b = dstp / bp;
+      const int32_t lanep = dstp % bp;
+      const int32_t k = used[dstp]++;
+      if (k >= kslots) return 3;
+      // W-index of other endpoint
+      int32_t widx;
+      const int64_t ob = othp / bp;
+      if (ob == b) {
+        widx = othp % bp;
+      } else {
+        const int32_t* lo = ext_idx + b * ep;
+        const int32_t* hi = lo + ext_cnt[b];
+        widx = bp + static_cast<int32_t>(std::lower_bound(lo, hi, othp) - lo);
+      }
+      slot_idx[b * kbp + static_cast<int64_t>(k) * bp + lanep] = widx;
+      // slot_w layout (nblk, K, 3, bp): element (b, k, d, lane)
+      float* w = slot_w + ((b * kslots + k) * 3) * static_cast<int64_t>(bp);
+      w[0 * bp + lanep] = static_cast<float>(s * nx);
+      w[1 * bp + lanep] = static_cast<float>(s * ny);
+      w[2 * bp + lanep] = static_cast<float>(s * nz);
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,51 @@
+"""Native (C++) preprocessing vs the NumPy reference construction.
+
+The native library is optional (`make -C native`); tests skip when absent.
+Parity is exact: identical arrays, not just equivalent semantics.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import cfd_proxy_tpu.ops.blocksweep as bs
+from cfd_proxy_tpu.mesh.generator import generate_mesh
+from cfd_proxy_tpu.native import lib
+
+
+pytestmark = pytest.mark.skipif(lib() is None, reason="native lib not built")
+
+
+@pytest.fixture(scope="module")
+def setup():
+    m = generate_mesh(12, 11, 10, jitter=0.05, diag_frac=0.3, seed=5)
+    ndev = bs.round_up(m.npoint, 128)
+    inv_scale = np.zeros(ndev)
+    inv_scale[: m.npoint] = 1.0 / m.volume
+    return m, ndev, inv_scale
+
+
+@pytest.mark.parametrize("subset,all_blocks", [(False, True), (True, False), (True, True)])
+def test_native_matches_numpy(setup, subset, all_blocks):
+    m, ndev, inv_scale = setup
+    sel = None
+    if subset:
+        sel = np.zeros(m.nface, bool)
+        sel[::4] = True
+    pn = bs._build_block_plan_native(
+        m.faces, m.normals, ndev, inv_scale, 128, sel, all_blocks, None)
+    os.environ["CFD_NATIVE"] = "0"
+    lib.cache_clear()
+    try:
+        pp = bs.build_block_plan(m.faces, m.normals, ndev, inv_scale, bp=128,
+                                 face_sel=sel, all_blocks=all_blocks)
+    finally:
+        os.environ["CFD_NATIVE"] = "1"
+        lib.cache_clear()
+    assert (pn.ep, pn.kslots, pn.nblocks) == (pp.ep, pp.kslots, pp.nblocks)
+    np.testing.assert_array_equal(pn.block_ids, pp.block_ids)
+    np.testing.assert_array_equal(pn.slot_idx, pp.slot_idx)
+    np.testing.assert_array_equal(pn.slot_w, pp.slot_w)
+    np.testing.assert_array_equal(pn.ext_idx, pp.ext_idx)
+    np.testing.assert_array_equal(pn.scale, pp.scale)
