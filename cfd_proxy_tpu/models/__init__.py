@@ -7,6 +7,6 @@ metadata, and jitted per-schedule step functions.
 """
 
 from cfd_proxy_tpu.models.gradients import GreenGaussModel
-from cfd_proxy_tpu.models.gradients_pallas import GreenGaussPallas
+from cfd_proxy_tpu.models.gradients_pallas import GreenGaussPallas, PSDFluxModel
 
-__all__ = ["GreenGaussModel", "GreenGaussPallas"]
+__all__ = ["GreenGaussModel", "GreenGaussPallas", "PSDFluxModel"]

@@ -39,6 +39,7 @@ from cfd_proxy_tpu.ops.blocksweep import (
     BlockPlan,
     build_block_plan,
     gather_exts,
+    out_rows,
     sweep_blocks,
 )
 from cfd_proxy_tpu.parallel.schedules import SCHEDULES
@@ -109,10 +110,13 @@ class GreenGaussPallas:
         bp: int = 256,
         devices: list | None = None,
         interpret: bool | None = None,
+        op: str = "gg",
     ):
         if interpret is None:
             # Mosaic compiles only for TPU; interpret elsewhere (CPU tests)
             interpret = jax.default_backend() != "tpu"
+        check(op in ("gg", "flux"), "unknown kernel op %r", op)
+        self.op = op
         check(nvar <= NV, "nvar %d > padded NV %d", nvar, NV)
         self.nvar = int(nvar)
         self.bp = bp
@@ -230,7 +234,7 @@ class GreenGaussPallas:
         pa["exts"] = exts
         return sweep_blocks(
             var_T, pa, bp=self.bp, ep=ep, kslots=ks, nblocks=nb,
-            init=init, interpret=self.interpret,
+            init=init, interpret=self.interpret, op=self.op,
         )
 
     def _exchange_start(self, g, send_idx, send_mask):
@@ -268,7 +272,7 @@ class GreenGaussPallas:
                         bufs = self._exchange_start(g, sidx, smask)
                         g = self._exchange_finish(g, bufs)
                 else:  # early / overlap
-                    zeros = jnp.zeros((3 * NV, lay.ndev), jnp.float32)
+                    zeros = jnp.zeros((out_rows(self.op), lay.ndev), jnp.float32)
                     gb = self._sweep("boundary", v, e_b[0], _sq(pbd), init=zeros)
                     bufs = self._exchange_start(gb, sidx, smask)
                     g = self._sweep("interior", v, e_i[0], _sq(pi), init=gb)
@@ -319,9 +323,18 @@ class GreenGaussPallas:
     # ------------------------------------------------------------- gather
 
     def gather_global(self, stacked: jax.Array) -> np.ndarray:
-        """Stacked grad_T (P, 3NV, ndev) → global (N, nvar*3), row v*3+d."""
+        """Stacked result (P, rows, ndev) → global host array.
+
+        gg: (N, nvar*3), column v*3+d (matches the XLA backend convention);
+        flux: (N, nvar)."""
         arr = np.asarray(stacked)
         N = sum(p.nowned for p in self.parts)
+        if self.op == "flux":
+            out = np.zeros((N, self.nvar), dtype=arr.dtype)
+            for i, p in enumerate(self.parts):
+                gids = p.global_ids[: p.nowned]
+                out[gids] = arr[i, : self.nvar, : p.nowned].T
+            return out
         out = np.zeros((N, self.nvar * 3), dtype=arr.dtype)
         for i, p in enumerate(self.parts):
             gids = p.global_ids[: p.nowned]
@@ -329,3 +342,11 @@ class GreenGaussPallas:
                 for d in range(3):
                     out[gids, v * 3 + d] = arr[i, d * NV + v, : p.nowned]
         return out
+
+
+class PSDFluxModel(GreenGaussPallas):
+    """Secondary model family: the upwind PSD-style flux kernel
+    (`compute_psd_flux` / `flux.c` analogue; see ops/flux.py for the spec)."""
+
+    def __init__(self, parts, nvar, **kw):
+        super().__init__(parts, nvar, op="flux", **kw)

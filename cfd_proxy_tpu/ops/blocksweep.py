@@ -231,10 +231,16 @@ def _build_block_plan_native(faces, normals, npoint_dev, inv_scale, bp,
 
 # ------------------------------------------------------------------ kernel
 
-def _sweep_kernel(bp: int, ep: int, kslots: int, accumulate: bool):
+def out_rows(op: str) -> int:
+    """Output row count: gradients are (3, NV) planes, fluxes (NV,)."""
+    return 3 * NV if op == "gg" else NV
+
+
+def _sweep_kernel(bp: int, ep: int, kslots: int, accumulate: bool, op: str):
     w_total = bp + ep
     npass = w_total // LANE
     ntile = bp // LANE
+    rows = out_rows(op)
 
     def kernel(bids_ref, own_ref, ext_ref, sidx_ref, sw_ref, scale_ref,
                *rest):
@@ -248,7 +254,7 @@ def _sweep_kernel(bp: int, ep: int, kslots: int, accumulate: bool):
 
             # K loop statically unrolled: Mosaic cannot dynamically index the
             # sublane axis of the slot tables ("unaligned dynamic load")
-            acc = jnp.zeros((3 * NV, LANE), jnp.float32)
+            acc = jnp.zeros((rows, LANE), jnp.float32)
             for k in range(kslots):
                 idx = sidx_ref[0, k, t * LANE : (t + 1) * LANE]   # (128,)
                 idxb = jnp.broadcast_to(idx[None, :], (NV, LANE))
@@ -261,9 +267,18 @@ def _sweep_kernel(bp: int, ep: int, kslots: int, accumulate: bool):
                         tbl_j, jnp.where(hit, lo, 0), axis=1
                     )
                     gat = jnp.where(hit, g_j, gat)
-                avg = 0.5 * (own_tile + gat)                      # (NV, 128)
                 wk = sw_ref[0, k, :, t * LANE : (t + 1) * LANE]   # (3, 128)
-                acc = acc + (wk[:, None, :] * avg[None, :, :]).reshape(3 * NV, LANE)
+                if op == "gg":
+                    avg = 0.5 * (own_tile + gat)                  # (NV, 128)
+                    acc = acc + (wk[:, None, :] * avg[None, :, :]).reshape(
+                        rows, LANE)
+                else:  # upwind flux (ops/flux.py directed-slot form)
+                    udw = jnp.sum(own_tile[:3] * wk, axis=0)      # (128,)
+                    uow = jnp.sum(gat[:3] * wk, axis=0)
+                    a = jnp.maximum(jnp.abs(udw), jnp.abs(uow))
+                    acc = acc + 0.5 * (udw[None, :] * own_tile
+                                       + uow[None, :] * gat) \
+                        - 0.5 * a[None, :] * (gat - own_tile)
             acc = acc * scale_ref[0, 0, t * LANE : (t + 1) * LANE][None, :]
             if accumulate:
                 acc = acc + init_ref[:, t * LANE : (t + 1) * LANE]
@@ -280,10 +295,11 @@ def sweep_blocks(
     ep: int,
     kslots: int,
     nblocks: int,
-    init: jax.Array | None = None,   # (3NV, npoint_dev) to accumulate onto
+    init: jax.Array | None = None,   # (rows, npoint_dev) to accumulate onto
     interpret: bool = False,
+    op: str = "gg",                  # "gg" gradients | "flux" upwind flux
 ) -> jax.Array:
-    """Run the block sweep; returns grad_T (3*NV, npoint_dev).
+    """Run the block sweep; returns (out_rows(op), npoint_dev).
 
     plan_arrays keys: block_ids (nblocks,), exts (nblocks, NV, EP),
     slot_idx, slot_w, scale — exts are the pre-gathered ext columns
@@ -294,7 +310,8 @@ def sweep_blocks(
 
     npoint_dev = var_T.shape[1]
     accumulate = init is not None
-    kernel = _sweep_kernel(bp, ep, kslots, accumulate)
+    rows = out_rows(op)
+    kernel = _sweep_kernel(bp, ep, kslots, accumulate, op)
 
     def bid(i, bids):
         return bids[i]
@@ -318,11 +335,11 @@ def sweep_blocks(
         plan_arrays["slot_w"],
         plan_arrays["scale"],
     ]
-    out_spec = pl.BlockSpec((3 * NV, bp), lambda i, bids: (0, bid(i, bids)),
+    out_spec = pl.BlockSpec((rows, bp), lambda i, bids: (0, bid(i, bids)),
                             memory_space=pltpu.VMEM)
     if accumulate:
         in_specs.append(
-            pl.BlockSpec((3 * NV, bp), lambda i, bids: (0, bid(i, bids)),
+            pl.BlockSpec((rows, bp), lambda i, bids: (0, bid(i, bids)),
                          memory_space=pltpu.VMEM)
         )
         args.append(init)
@@ -341,7 +358,7 @@ def sweep_blocks(
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((3 * NV, npoint_dev), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((rows, npoint_dev), jnp.float32),
         interpret=interpret,
         **kwargs,
     )(plan_arrays["block_ids"], *args)

@@ -41,6 +41,7 @@ class SolverConfig:
     warmup: int = 3
     schedule: str = "all"
     backend: str = "pallas"     # pallas (production) | xla (reference)
+    model: str = "gg"           # gg (Green-Gauss gradients) | flux (PSD flux)
     dtype: str = "float32"
     diag_frac: float = 0.2
     jitter: float = 0.05
@@ -71,8 +72,10 @@ def build_model(cfg: SolverConfig):
 
         if cfg.dtype != "float32":
             raise SystemExit("pallas backend is float32; use --backend xla for f64")
-        model = GreenGaussPallas(parts, cfg.nvar)
+        model = GreenGaussPallas(parts, cfg.nvar, op=cfg.model)
     else:
+        if cfg.model != "gg":
+            raise SystemExit("--model flux requires --backend pallas")
         dtype = {"float32": jnp.float32, "float64": jnp.float64}[cfg.dtype]
         model = GreenGaussModel(parts, cfg.nvar, dtype=dtype)
     return model, gmesh
@@ -179,12 +182,21 @@ def verify_model(model, var, schedules, gmesh, gvar) -> dict:
         out[f"{s}_vs_bulk_maxabs"] = float(jnp.abs(g - ref).max())
     small_enough = ref.size < 20_000_000
     if gmesh is not None and small_enough:
-        from cfd_proxy_tpu.ops.golden import compute_gradients_gg, scale_gradients
+        if getattr(model, "op", "gg") == "flux":
+            from cfd_proxy_tpu.ops.flux import compute_psd_flux, flux_residual_scale
 
-        gg = scale_gradients(
-            compute_gradients_gg(gvar.astype(np.float64), gmesh.faces, gmesh.normals),
-            gmesh.volume, gmesh.npoint,
-        ).reshape(gmesh.npoint, -1)
+            gg = flux_residual_scale(
+                compute_psd_flux(gvar.astype(np.float64), gmesh.faces, gmesh.normals),
+                gmesh.volume, gmesh.npoint,
+            )
+        else:
+            from cfd_proxy_tpu.ops.golden import compute_gradients_gg, scale_gradients
+
+            gg = scale_gradients(
+                compute_gradients_gg(gvar.astype(np.float64), gmesh.faces,
+                                     gmesh.normals),
+                gmesh.volume, gmesh.npoint,
+            ).reshape(gmesh.npoint, -1)
         got = model.gather_global(ref)
         denom = max(1.0, float(np.abs(gg).max()))
         out["bulk_vs_golden_relmax"] = float(np.abs(got - gg).max() / denom)
@@ -208,6 +220,7 @@ def main(argv=None) -> int:
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--schedule", default="all", choices=["all", *SCHEDULES])
     ap.add_argument("--backend", default="pallas", choices=["pallas", "xla"])
+    ap.add_argument("--model", default="gg", choices=["gg", "flux"])
     ap.add_argument("--dtype", default="float32", choices=["float32", "float64"])
     ap.add_argument("--diag-frac", type=float, default=0.2)
     ap.add_argument("--seed", type=int, default=0)
@@ -219,8 +232,8 @@ def main(argv=None) -> int:
         nx=args.nx, ny=args.ny, nz=args.nz, mesh_prefix=args.mesh_prefix,
         parts=args.parts, ghost_layers=args.ghost_layers, nvar=args.nvar,
         iters=args.iters, warmup=args.warmup, schedule=args.schedule,
-        backend=args.backend, dtype=args.dtype, diag_frac=args.diag_frac,
-        seed=args.seed,
+        backend=args.backend, model=args.model, dtype=args.dtype,
+        diag_frac=args.diag_frac, seed=args.seed,
         verify=not args.no_verify, json_out=args.json,
     )
     results, stats = run(cfg)
