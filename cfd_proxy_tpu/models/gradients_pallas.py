@@ -96,6 +96,7 @@ def _pad_blocks(plan: BlockPlan, nblocks: int, trash_block: int) -> BlockPlan:
         slot_w=pad(plan.slot_w),
         ext_idx=pad(plan.ext_idx),
         scale=pad(plan.scale),
+        pass_mask=pad(plan.pass_mask),
     )
 
 
@@ -182,6 +183,7 @@ class GreenGaussPallas:
 
         return {
             "block_ids": stack("block_ids", np.int32),
+            "pass_mask": stack("pass_mask", np.int32),
             "slot_idx": stack("slot_idx", np.int32),
             "slot_w": stack("slot_w", np.float32),
             "scale": stack("scale", np.float32),

@@ -26,7 +26,11 @@ Kernel: for each output 128-lane tile and each slot k:
 The destination endpoint is lane-ALIGNED (slots are directed), so each slot
 needs ONE gather.  Mosaic's `tpu.dynamic_gather` shuffles within a single
 128-lane vreg only, so the gather over W lanes is decomposed into W/128
-masked passes (select on idx>>7 == pass).
+masked passes; the vreg id (idx>>7) and in-vreg offset (idx&127) are hoisted
+out of the pass loop so each pass is compare+gather+select.  (A dynamic
+per-(block,slot,tile) pass skip via lax.cond was tried and is 13x SLOWER —
+scalar branches stall the vector pipeline; pass_mask is kept as metadata for
+a future static-specialization approach, the kernel ignores it.)
 
 Accumulating on top of a previous grad (input_output_aliases) makes
 boundary-kernel ∘ interior-kernel == bulk kernel, the schedule-equivalence
@@ -41,6 +45,8 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from cfd_proxy_tpu.utils.errors import check
 
@@ -66,6 +72,9 @@ class BlockPlan:
     slot_w: np.ndarray         # (nblocks, K, 3, BP) f32 — ± normals
     ext_idx: np.ndarray        # (nblocks, EP) i32 — device columns to gather
     scale: np.ndarray          # (nblocks, 1, BP) f32 — 1/V (fused), 0 on pad
+    pass_mask: np.ndarray      # (nblocks, K, BP//128) i32 — bit j set iff the
+                               # (block, slot, out-tile) gathers from source
+                               # vreg j (diagnostic/future use; see module doc)
 
 
 def build_block_plan(
@@ -85,7 +94,7 @@ def build_block_plan(
         faces, normals, npoint_dev, inv_scale, bp, face_sel, all_blocks, pads
     )
     if native is not None:
-        return native
+        return _with_pass_mask(native)
     F = faces.shape[0]
     if face_sel is None:
         fsel = np.arange(F)
@@ -159,11 +168,29 @@ def build_block_plan(
         slot_idx[bi, slot_of[sel], lane[sel]] = widx.astype(np.int32)
         slot_w[bi, slot_of[sel], :, lane[sel]] = w_s[sel].astype(np.float32)
 
-    return BlockPlan(
+    return _with_pass_mask(BlockPlan(
         npoint_dev=npoint_dev, bp=bp, ep=ep, kslots=kmax, nblocks=nblocks,
         block_ids=blocks.astype(np.int32), slot_idx=slot_idx, slot_w=slot_w,
-        ext_idx=ext_idx, scale=scale,
-    )
+        ext_idx=ext_idx, scale=scale, pass_mask=np.zeros(0, np.int32),
+    ))
+
+
+def _with_pass_mask(plan: BlockPlan) -> BlockPlan:
+    """Derive the gather-pass bitmask from the slot tables (builder-agnostic).
+
+    A slot lane is live iff its weight is nonzero (padding and zero-normal
+    slots contribute exactly zero either way, so skipping their gathers is
+    value-preserving)."""
+    import dataclasses
+
+    nb, K, bp = plan.slot_idx.shape
+    ntile = bp // LANE
+    hi = plan.slot_idx // LANE                              # (nb, K, bp)
+    live = np.any(plan.slot_w != 0, axis=2)                 # (nb, K, bp)
+    bits = np.where(live, np.int64(1) << hi.astype(np.int64), 0)
+    bits = bits.reshape(nb, K, ntile, LANE)
+    mask = np.bitwise_or.reduce(bits, axis=3).astype(np.int32)
+    return dataclasses.replace(plan, pass_mask=mask)
 
 
 def _build_block_plan_native(faces, normals, npoint_dev, inv_scale, bp,
@@ -225,7 +252,7 @@ def _build_block_plan_native(faces, normals, npoint_dev, inv_scale, bp,
         npoint_dev=npoint_dev, bp=bp, ep=ep, kslots=ks, nblocks=len(blocks),
         block_ids=blocks.astype(np.int32),
         slot_idx=slot_idx[blocks], slot_w=slot_w[blocks],
-        ext_idx=ext_idx[blocks], scale=scale,
+        ext_idx=ext_idx[blocks], scale=scale, pass_mask=np.zeros(0, np.int32),
     )
 
 
@@ -242,8 +269,8 @@ def _sweep_kernel(bp: int, ep: int, kslots: int, accumulate: bool, op: str):
     ntile = bp // LANE
     rows = out_rows(op)
 
-    def kernel(bids_ref, own_ref, ext_ref, sidx_ref, sw_ref, scale_ref,
-               *rest):
+    def kernel(bids_ref, mask_ref, own_ref, ext_ref, sidx_ref, sw_ref,
+               scale_ref, *rest):
         if accumulate:
             init_ref, out_ref = rest
         else:
@@ -257,16 +284,15 @@ def _sweep_kernel(bp: int, ep: int, kslots: int, accumulate: bool, op: str):
             acc = jnp.zeros((rows, LANE), jnp.float32)
             for k in range(kslots):
                 idx = sidx_ref[0, k, t * LANE : (t + 1) * LANE]   # (128,)
-                idxb = jnp.broadcast_to(idx[None, :], (NV, LANE))
+                # hoist the vreg id / in-vreg offset out of the pass loop:
+                # per pass only a compare + gather + select remain
+                hi = jnp.broadcast_to((idx >> 7)[None, :], (NV, LANE))
+                lo = jnp.broadcast_to((idx & 127)[None, :], (NV, LANE))
                 gat = jnp.zeros((NV, LANE), jnp.float32)
                 for j in range(npass):
                     tbl_j = tbl[:, j * LANE : (j + 1) * LANE]
-                    lo = (idxb - j * LANE).astype(jnp.int32)
-                    hit = (idxb >= j * LANE) & (idxb < (j + 1) * LANE)
-                    g_j = jnp.take_along_axis(
-                        tbl_j, jnp.where(hit, lo, 0), axis=1
-                    )
-                    gat = jnp.where(hit, g_j, gat)
+                    g_j = jnp.take_along_axis(tbl_j, lo, axis=1)
+                    gat = jnp.where(hi == j, g_j, gat)
                 wk = sw_ref[0, k, :, t * LANE : (t + 1) * LANE]   # (3, 128)
                 if op == "gg":
                     avg = 0.5 * (own_tile + gat)                  # (NV, 128)
@@ -301,13 +327,11 @@ def sweep_blocks(
 ) -> jax.Array:
     """Run the block sweep; returns (out_rows(op), npoint_dev).
 
-    plan_arrays keys: block_ids (nblocks,), exts (nblocks, NV, EP),
-    slot_idx, slot_w, scale — exts are the pre-gathered ext columns
-    (var is static across benchmark iterations; see models/gradients.py).
+    plan_arrays keys: block_ids (nblocks,), pass_mask (nblocks, K, ntile),
+    exts (nblocks, NV, EP), slot_idx, slot_w, scale — exts are the
+    pre-gathered ext columns (var is static across benchmark iterations; see
+    models/gradients.py).
     """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
     npoint_dev = var_T.shape[1]
     accumulate = init is not None
     rows = out_rows(op)
@@ -317,6 +341,9 @@ def sweep_blocks(
         return bids[i]
 
     in_specs = [
+        pl.BlockSpec((1, kslots, bp // LANE),
+                     lambda i, bids: (i, 0, 0),
+                     memory_space=pltpu.SMEM),                       # pass_mask
         pl.BlockSpec((NV, bp), lambda i, bids: (0, bid(i, bids)),
                      memory_space=pltpu.VMEM),                       # own
         pl.BlockSpec((1, NV, ep), lambda i, bids: (i, 0, 0),
@@ -329,6 +356,7 @@ def sweep_blocks(
                      memory_space=pltpu.VMEM),                       # scale
     ]
     args = [
+        plan_arrays["pass_mask"],
         var_T,
         plan_arrays["exts"],
         plan_arrays["slot_idx"],
@@ -352,7 +380,8 @@ def sweep_blocks(
     )
     kwargs = {}
     if accumulate:
-        # alias init (last tensor input) with the output buffer so untouched
+        # alias init (last operand; index counts the scalar-prefetch operand
+        # at 0, then the tensor inputs) with the output buffer so untouched
         # blocks keep their prior values
         kwargs["input_output_aliases"] = {len(args): 0}
     return pl.pallas_call(
@@ -368,6 +397,7 @@ def device_block_plan(plan: BlockPlan) -> dict:
     """Upload BlockPlan arrays (exts filled separately per state)."""
     return {
         "block_ids": jnp.asarray(plan.block_ids),
+        "pass_mask": jnp.asarray(plan.pass_mask),
         "slot_idx": jnp.asarray(plan.slot_idx),
         "slot_w": jnp.asarray(plan.slot_w),
         "scale": jnp.asarray(plan.scale),

@@ -1,0 +1,38 @@
+"""CLI tools: offline partitioner files + golden dump/check round-trip."""
+
+import numpy as np
+
+from cfd_proxy_tpu.mesh.reader import partition_path, read_partition
+from cfd_proxy_tpu.tools.golden import main as golden_main
+from cfd_proxy_tpu.tools.partition import main as partition_main
+
+
+def test_partition_tool_and_solver_mesh_input(tmp_path):
+    prefix = str(tmp_path / "m")
+    rc = partition_main(["--nx", "10", "--ny", "9", "--nz", "8",
+                         "--parts", "4", "--out", prefix])
+    assert rc == 0
+    parts = [read_partition(partition_path(prefix, i, 4)) for i in range(4)]
+    assert sum(p.nowned for p in parts) == 10 * 9 * 8
+
+    # solver reads the files (pallas backend, interpret on CPU)
+    from cfd_proxy_tpu.solver import SolverConfig, run
+
+    cfg = SolverConfig(mesh_prefix=prefix, parts=4, iters=2, warmup=1,
+                       schedule="early", verify=True)
+    results, _ = run(cfg)
+    assert results["schedules"]["early"]["faces_per_sec"] > 0
+    assert results["verification"]["early_vs_bulk_maxabs"] < 1e-4
+
+
+def test_golden_dump_check_roundtrip(tmp_path):
+    ref = str(tmp_path / "golden.nc")
+    assert golden_main(["dump", "--nx", "8", "--out", ref]) == 0
+    # golden recompute is bitwise
+    assert golden_main(["check", "--nx", "8", "--ref", ref]) == 0
+    # device path within documented f32 bound, distributed
+    assert golden_main(["check", "--nx", "8", "--ref", ref,
+                        "--backend", "pallas", "--parts", "2",
+                        "--schedule", "overlap"]) == 0
+    # perturbed config must FAIL
+    assert golden_main(["check", "--nx", "8", "--ref", ref, "--seed", "1"]) == 1
