@@ -41,6 +41,7 @@ from cfd_proxy_tpu.ops.blocksweep import (
     gather_exts,
     out_rows,
     sweep_blocks,
+    sweep_blocks_overlap,
 )
 from cfd_proxy_tpu.parallel.schedules import SCHEDULES
 from cfd_proxy_tpu.parallel.tlayout import (
@@ -174,6 +175,11 @@ class GreenGaussPallas:
 
         self._send_idx = jax.device_put(jnp.asarray(lay.send_idx), self._sharding)
         self._send_mask = jax.device_put(jnp.asarray(lay.send_mask), self._sharding)
+        self._dsts = jax.device_put(jnp.asarray(lay.dsts), self._sharding)
+        self._srcs = jax.device_put(jnp.asarray(lay.srcs), self._sharding)
+        # any phase with a real transfer? → the fused RDMA overlap kernel is
+        # meaningful; otherwise overlap degrades to the early graph
+        self._has_comm = any(len(p) for p in lay.perms)
         self._step_cache: dict = {}
 
     def _stack_plans(self, plans: list[BlockPlan]) -> dict:
@@ -264,7 +270,8 @@ class GreenGaussPallas:
         if schedule not in self._step_cache:
             lay = self.layout
 
-            def body(var_T, e_bulk, e_b, e_i, send_idx, send_mask, pb, pbd, pi):
+            def body(var_T, e_bulk, e_b, e_i, send_idx, send_mask, dsts, srcs,
+                     pb, pbd, pi):
                 v = var_T[0]
                 sidx = send_idx[0]
                 smask = send_mask[0]
@@ -273,7 +280,26 @@ class GreenGaussPallas:
                     if schedule == "bulk":
                         bufs = self._exchange_start(g, sidx, smask)
                         g = self._exchange_finish(g, bufs)
-                else:  # early / overlap
+                elif schedule == "overlap" and self._has_comm:
+                    # full-overlap: fused interior sweep + in-kernel RDMA push
+                    zeros = jnp.zeros((out_rows(self.op), lay.ndev), jnp.float32)
+                    gb = self._sweep("boundary", v, e_b[0], _sq(pbd), init=zeros)
+                    packed = jnp.stack([
+                        jnp.take(gb, sidx[k], axis=1) * smask[k][None, :]
+                        for k in range(lay.nphases)
+                    ])
+                    ep, ks, nb = self._dims["interior"]
+                    pa = dict(_sq(pi))
+                    pa["exts"] = e_i[0]
+                    g, recv = sweep_blocks_overlap(
+                        v, pa, bp=self.bp, ep=ep, kslots=ks, nblocks=nb,
+                        init=gb, sendbufs=packed, dsts=dsts[0], srcs=srcs[0],
+                        interpret=self.interpret, op=self.op,
+                    )
+                    for k in range(lay.nphases):
+                        g = jax.lax.dynamic_update_slice(
+                            g, recv[k], (0, lay.ghost_start + k * lay.s_max))
+                else:  # early (or overlap with no comm)
                     zeros = jnp.zeros((out_rows(self.op), lay.ndev), jnp.float32)
                     gb = self._sweep("boundary", v, e_b[0], _sq(pbd), init=zeros)
                     bufs = self._exchange_start(gb, sidx, smask)
@@ -283,7 +309,7 @@ class GreenGaussPallas:
 
             fn = _shard_map(
                 body, self.mesh,
-                in_specs=(P(AXIS),) * 9,
+                in_specs=(P(AXIS),) * 11,
                 out_specs=P(AXIS),
             )
             self._step_cache[schedule] = jax.jit(fn)
@@ -293,6 +319,7 @@ class GreenGaussPallas:
         return (
             state["var_T"], state["exts_bulk"], state["exts_boundary"],
             state["exts_interior"], self._send_idx, self._send_mask,
+            self._dsts, self._srcs,
             self._plans_dev["bulk"], self._plans_dev["boundary"],
             self._plans_dev["interior"],
         )
@@ -311,9 +338,11 @@ class GreenGaussPallas:
             step = self.step_fn(schedule)
 
             @jax.jit
-            def run_n(n, var_T, e_bulk, e_b, e_i, send_idx, send_mask, pb, pbd, pi):
+            def run_n(n, var_T, e_bulk, e_b, e_i, send_idx, send_mask,
+                      dsts, srcs, pb, pbd, pi):
                 def body(_i, v):
-                    g = step(v, e_bulk, e_b, e_i, send_idx, send_mask, pb, pbd, pi)
+                    g = step(v, e_bulk, e_b, e_i, send_idx, send_mask,
+                             dsts, srcs, pb, pbd, pi)
                     return v + 1e-30 * g[:, :NV, :]
 
                 return jax.lax.fori_loop(0, n, body, var_T)

@@ -263,18 +263,14 @@ def out_rows(op: str) -> int:
     return 3 * NV if op == "gg" else NV
 
 
-def _sweep_kernel(bp: int, ep: int, kslots: int, accumulate: bool, op: str):
-    w_total = bp + ep
-    npass = w_total // LANE
+def _block_compute(bp: int, ep: int, kslots: int, accumulate: bool, op: str):
+    """Shared per-block compute body (used by the sweep and overlap kernels)."""
+    npass = (bp + ep) // LANE
     ntile = bp // LANE
     rows = out_rows(op)
 
-    def kernel(bids_ref, mask_ref, own_ref, ext_ref, sidx_ref, sw_ref,
-               scale_ref, *rest):
-        if accumulate:
-            init_ref, out_ref = rest
-        else:
-            (out_ref,) = rest
+    def compute(own_ref, ext_ref, sidx_ref, sw_ref, scale_ref, init_ref,
+                out_ref):
         tbl = jnp.concatenate([own_ref[:], ext_ref[0]], axis=1)  # (NV, W)
         for t in range(ntile):
             own_tile = own_ref[:, t * LANE : (t + 1) * LANE]      # (NV, 128)
@@ -309,6 +305,21 @@ def _sweep_kernel(bp: int, ep: int, kslots: int, accumulate: bool, op: str):
             if accumulate:
                 acc = acc + init_ref[:, t * LANE : (t + 1) * LANE]
             out_ref[:, t * LANE : (t + 1) * LANE] = acc
+
+    return compute
+
+
+def _sweep_kernel(bp: int, ep: int, kslots: int, accumulate: bool, op: str):
+    compute = _block_compute(bp, ep, kslots, accumulate, op)
+
+    def kernel(bids_ref, mask_ref, own_ref, ext_ref, sidx_ref, sw_ref,
+               scale_ref, *rest):
+        if accumulate:
+            init_ref, out_ref = rest
+        else:
+            init_ref, (out_ref,) = None, rest
+        compute(own_ref, ext_ref, sidx_ref, sw_ref, scale_ref, init_ref,
+                out_ref)
 
     return kernel
 
@@ -391,6 +402,137 @@ def sweep_blocks(
         interpret=interpret,
         **kwargs,
     )(plan_arrays["block_ids"], *args)
+
+
+def sweep_blocks_overlap(
+    var_T: jax.Array,            # (NV, npoint_dev) f32
+    plan_arrays: dict,           # interior-class BlockPlan device arrays
+    *,
+    bp: int,
+    ep: int,
+    kslots: int,
+    nblocks: int,
+    init: jax.Array,             # (rows, ndev) — the boundary-sweep result
+    sendbufs: jax.Array,         # (nphases, rows, s_max) — packed halo pushes
+    dsts: jax.Array,             # (nphases,) i32 dest device per phase
+                                 # (self for idle devices; see tlayout)
+    srcs: jax.Array,             # (nphases,) i32 src device per phase
+    interpret: bool = False,
+    op: str = "gg",
+    collective_id: int = 1,
+) -> tuple[jax.Array, jax.Array]:
+    """FUSED interior sweep + one-sided halo push — the GASPI analogue.
+
+    The reference's signature mechanism (SURVEY.md §4.3/§4.5): sends fire from
+    INSIDE the compute loop once the halo data is final, and communication is
+    hidden under interior compute.  Here: the packed boundary-gradient buffers
+    are pushed to partner devices with `make_async_remote_copy` (one-sided ICI
+    RDMA — the moral equivalent of gaspi_write_notify) STARTED at the first
+    grid step of the interior sweep; the DMAs fly while all interior blocks
+    compute; completion (notify_waitsome analogue) is awaited at the last grid
+    step.  Returns (grad, recvbufs); the caller scatters recvbufs into the
+    static per-phase ghost regions.
+    """
+    npoint_dev = var_T.shape[1]
+    rows = out_rows(op)
+    nph = int(sendbufs.shape[0])
+    compute = _block_compute(bp, ep, kslots, True, op)
+
+    def kernel(bids_ref, dsts_ref, srcs_ref, mask_ref, own_ref, ext_ref,
+               sidx_ref, sw_ref, scale_ref, send_ref, init_ref, rinit_ref,
+               out_ref, recv_ref, send_sems, recv_sems):
+        del rinit_ref  # aliased with recv_ref: zero-fills phases with no recv
+        i = pl.program_id(0)
+        n = pl.num_programs(0)
+
+        del srcs_ref  # kept in the signature for symmetry/debugging
+
+        def rdma(k):
+            return pltpu.make_async_remote_copy(
+                src_ref=send_ref.at[k],
+                dst_ref=recv_ref.at[k],
+                send_sem=send_sems.at[k],
+                recv_sem=recv_sems.at[k],
+                device_id=dsts_ref[k],
+                device_id_type=pltpu.DeviceIdType.LOGICAL,
+            )
+
+        # every device sends in every phase (idle devices self-send masked
+        # zeros) → uniform collective participation; fire all pushes at the
+        # FIRST interior grid step, complete at the LAST — the transfers fly
+        # under the whole interior sweep
+        @pl.when(i == 0)
+        def _():
+            for k in range(nph):
+                rdma(k).start()
+
+        compute(own_ref, ext_ref, sidx_ref, sw_ref, scale_ref, init_ref,
+                out_ref)
+
+        @pl.when(i == n - 1)
+        def _():
+            for k in range(nph):
+                rdma(k).wait_send()
+                rdma(k).wait_recv()
+
+    def bid(i, bids, dsts, srcs):
+        return bids[i]
+
+    in_specs = [
+        pl.BlockSpec((1, kslots, bp // LANE),
+                     lambda i, b, d, s: (i, 0, 0),
+                     memory_space=pltpu.SMEM),                       # pass_mask
+        pl.BlockSpec((NV, bp), lambda i, b, d, s: (0, bid(i, b, d, s)),
+                     memory_space=pltpu.VMEM),                       # own
+        pl.BlockSpec((1, NV, ep), lambda i, b, d, s: (i, 0, 0),
+                     memory_space=pltpu.VMEM),                       # exts
+        pl.BlockSpec((1, kslots, bp), lambda i, b, d, s: (i, 0, 0),
+                     memory_space=pltpu.VMEM),                       # slot_idx
+        pl.BlockSpec((1, kslots, 3, bp), lambda i, b, d, s: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),                       # slot_w
+        pl.BlockSpec((1, 1, bp), lambda i, b, d, s: (i, 0, 0),
+                     memory_space=pltpu.VMEM),                       # scale
+        pl.BlockSpec(memory_space=pltpu.ANY),                        # sendbufs
+        pl.BlockSpec((rows, bp), lambda i, b, d, s: (0, bid(i, b, d, s)),
+                     memory_space=pltpu.VMEM),                       # init
+        pl.BlockSpec(memory_space=pltpu.ANY),                        # recv init
+    ]
+    out_specs = (
+        pl.BlockSpec((rows, bp), lambda i, b, d, s: (0, bid(i, b, d, s)),
+                     memory_space=pltpu.VMEM),                       # grad
+        pl.BlockSpec(memory_space=pltpu.ANY),                        # recvbufs
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nblocks,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.SemaphoreType.DMA((nph,)),
+            pltpu.SemaphoreType.DMA((nph,)),
+        ],
+    )
+    grad, recv = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, npoint_dev), jnp.float32),
+            jax.ShapeDtypeStruct(sendbufs.shape, jnp.float32),
+        ),
+        # operand index: prefetch(3) count as 0..2, then tensor inputs; init
+        # (index 10) aliases the grad output; the zero recv-init (index 11)
+        # aliases the recv buffer so no-recv phases read deterministic zeros
+        input_output_aliases={10: 0, 11: 1},
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, collective_id=collective_id),
+        interpret=interpret,
+    )(
+        plan_arrays["block_ids"], dsts, srcs,
+        plan_arrays["pass_mask"], var_T, plan_arrays["exts"],
+        plan_arrays["slot_idx"], plan_arrays["slot_w"], plan_arrays["scale"],
+        sendbufs, init, jnp.zeros(sendbufs.shape, jnp.float32),
+    )
+    return grad, recv
 
 
 def device_block_plan(plan: BlockPlan) -> dict:

@@ -49,6 +49,13 @@ class TLayout:
     locmap: list           # per part: (npoint,) local id -> device column
     send_idx: np.ndarray   # (P, nphases, s_max) i32 device columns, pad 0
     send_mask: np.ndarray  # (P, nphases, s_max) f32 1.0 on real lanes, 0 pad
+    dsts: np.ndarray       # (P, nphases) i32 — RDMA destination device per
+                           # phase; devices idle in a phase SELF-send (the
+                           # phase matching is completed to a permutation so
+                           # every device participates uniformly — required
+                           # for interpret-mode collectives and harmless on
+                           # hardware: a local copy of masked zeros)
+    srcs: np.ndarray       # (P, nphases) i32 — RDMA source device per phase
 
     @property
     def ghost_start(self) -> int:
@@ -75,6 +82,8 @@ def build_tlayout(
 
     send_idx = np.zeros((P, nphases, s_max), dtype=np.int32)
     send_mask = np.zeros((P, nphases, s_max), dtype=np.float32)
+    dsts = np.full((P, nphases), -1, dtype=np.int32)
+    srcs = np.full((P, nphases), -1, dtype=np.int32)
     perms = []
     for k, ph in enumerate(topo.phases):
         perms.append(tuple(ph.perm))
@@ -84,6 +93,17 @@ def build_tlayout(
             # real lanes = the entry's actual send count for that src
             cnt = int((ph.recv_idx[_dst] < topo.npoint_pad).sum())
             send_mask[src, k, :cnt] = 1.0
+            dsts[src, k] = _dst
+            srcs[_dst, k] = src
+        # complete the partial matching to a full permutation: unmatched
+        # senders push masked zeros to unmatched receivers, so every device
+        # participates in every phase exactly once (uniform collective
+        # participation; the zero payload lands in an unused ghost region)
+        free_src = [d for d in range(P) if dsts[d, k] < 0]
+        free_dst = [d for d in range(P) if srcs[d, k] < 0]
+        for s_, t_ in zip(free_src, free_dst):
+            dsts[s_, k] = t_
+            srcs[t_, k] = s_
         for d in range(P):
             recv = ph.recv_idx[d]
             valid = recv < topo.npoint_pad            # OOB marker = pad
@@ -98,6 +118,7 @@ def build_tlayout(
     return TLayout(
         bp=bp, owned_pad=owned_pad, s_max=s_max, nphases=nphases, ndev=ndev,
         perms=perms, locmap=locmap, send_idx=send_idx, send_mask=send_mask,
+        dsts=dsts, srcs=srcs,
     )
 
 
