@@ -213,6 +213,27 @@ class GreenGaussPallas:
         exts = self._build_exts(var_T)
         return {"var_T": var_T, **exts}
 
+    def refresh_state(self, var_T: jax.Array) -> dict:
+        """Solver-mode state update: given a stacked var_T whose OWNED columns
+        were updated on device (e.g. pseudo-time stepping), redo the var halo
+        exchange (ghost columns) and rebuild the per-block ext tables.
+
+        The benchmark loop itself never needs this (the reference's timed
+        iteration exchanges gradients over a static state; SURVEY.md §4.2) —
+        it is the API a real solver built on this framework would call once
+        per time step."""
+        if "var_exchange" not in self._step_cache:
+            def body(v, send_idx, send_mask):
+                bufs = self._exchange_start(v[0], send_idx[0], send_mask[0])
+                return self._exchange_finish(v[0], bufs)[None]
+
+            fn = _shard_map(body, self.mesh, in_specs=(P(AXIS),) * 3,
+                            out_specs=P(AXIS))
+            self._step_cache["var_exchange"] = jax.jit(fn)
+        var_T = self._step_cache["var_exchange"](
+            var_T, self._send_idx, self._send_mask)
+        return {"var_T": var_T, **self._build_exts(var_T)}
+
     def _build_exts(self, var_T: jax.Array) -> dict:
         def body(v, bulk_i, b_i, i_i):
             return (

@@ -81,3 +81,29 @@ def test_iterate_fn_runs(mesh, gvar):
     out = model.iterate_fn("early", 3)(*model.iter_args(state))
     assert out.shape == state["var_T"].shape
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_refresh_state_solver_mode(mesh, gvar):
+    """Device-side state update → var ghost exchange → exts rebuilt."""
+    import jax.numpy as jnp
+
+    from cfd_proxy_tpu.ops.golden import compute_gradients_gg, scale_gradients
+
+    parts = partition_mesh(mesh, 4)
+    model = GreenGaussPallas(parts, NVAR, bp=128)
+    state = model.distribute_state(gvar)
+    # perturb OWNED columns on device (ghosts left stale), then refresh
+    var2 = state["var_T"] * jnp.float32(1.5)
+    lay = model.layout
+    owned_only = np.zeros((1, 1, lay.ndev), np.float32)
+    for p in model.parts:
+        owned_only[0, 0, : p.nowned] = 1.0
+    mixed = jnp.where(jnp.asarray(owned_only) > 0, var2, state["var_T"])
+    state2 = model.refresh_state(mixed)
+    got = model.gather_global(model.step(state2, "overlap"))
+    gref2 = scale_gradients(
+        compute_gradients_gg((1.5 * gvar).astype(np.float64), mesh.faces,
+                             mesh.normals), mesh.volume, mesh.npoint
+    ).reshape(mesh.npoint, -1)
+    err = np.abs(got - gref2).max() / max(1.0, np.abs(gref2).max())
+    assert err < 1e-5, err
