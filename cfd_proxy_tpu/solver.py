@@ -48,6 +48,7 @@ class SolverConfig:
     seed: int = 0
     verify: bool = True
     json_out: bool = False
+    profile_dir: str | None = None   # jax.profiler trace output (optional)
 
 
 def build_model(cfg: SolverConfig):
@@ -136,6 +137,22 @@ def run(cfg: SolverConfig) -> dict:
         "schedules": {},
     }
 
+    profiler_cm = None
+    if cfg.profile_dir:
+        # optional device traces (SURVEY.md §5.1: the reference has only
+        # self-timing; we add jax.profiler on request). May be unsupported
+        # on tunneled backends — degrade gracefully.
+        import contextlib
+
+        try:
+            import jax.profiler
+
+            profiler_cm = jax.profiler.trace(cfg.profile_dir)
+            profiler_cm.__enter__()
+        except Exception as e:  # pragma: no cover
+            print(f"profiler unavailable: {e}", file=__import__("sys").stderr)
+            profiler_cm = None
+
     # compute-only floor, for overlap efficiency (only worth a compile when
     # several schedules are being compared)
     nocomm = None
@@ -159,6 +176,9 @@ def run(cfg: SolverConfig) -> dict:
                 results["schedules"][s]["overlap_efficiency"] = float(
                     np.clip(1.0 - exposed / comm_cost, 0.0, 1.0)
                 )
+
+    if profiler_cm is not None:
+        profiler_cm.__exit__(None, None, None)
 
     if cfg.verify:
         results["verification"] = verify_model(model, var, schedules, gmesh, rng_state)
@@ -226,6 +246,8 @@ def main(argv=None) -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--no-verify", action="store_true")
     ap.add_argument("--json", action="store_true", help="emit one JSON line")
+    ap.add_argument("--profile", dest="profile_dir", default=None,
+                    help="write a jax.profiler trace to this directory")
     args = ap.parse_args(argv)
 
     cfg = SolverConfig(
@@ -235,6 +257,7 @@ def main(argv=None) -> int:
         backend=args.backend, model=args.model, dtype=args.dtype,
         diag_frac=args.diag_frac, seed=args.seed,
         verify=not args.no_verify, json_out=args.json,
+        profile_dir=args.profile_dir,
     )
     results, stats = run(cfg)
     if cfg.json_out:
