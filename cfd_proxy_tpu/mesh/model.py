@@ -8,10 +8,10 @@ point coords, face→(p0,p1) adjacency, face normals, ownership counts, and the
 - points are ordered **owned first, then ghosts**; `nowned` splits them;
 - ghosts are grouped by increasing halo depth (depth-1 ghosts before depth-2);
 - `faces[f] = (p0, p1)` indexes into the local point array;
-- each comm entry belongs to a *round*: round r fills depth-(r+1) ghosts, and
-  its sendidx may reference ghosts of depth ≤ r (valid once rounds < r are
-  done) — the multi-round ghost-layer scheme of SURVEY.md §3 / BASELINE
-  config 5.
+- each comm entry belongs to a *round*: round r fills depth-(r+1) ghosts
+  (the multi-round ghost-layer scheme of SURVEY.md §3 / BASELINE config 5);
+  sendidx always references OWNED points (see CommEntry) so rounds pack
+  independently.
 """
 
 from __future__ import annotations
@@ -32,6 +32,14 @@ class CommEntry:
     Both sides store their lists in the SAME order, so sendbuf[i] on the
     sender corresponds to recvidx[i] on the receiver (position-matched, like
     the reference's paired send/recv buffers).
+
+    Invariant (all rounds): sendidx references OWNED points only — the owner
+    of a point sends directly to every partition that ghosts it, at any
+    depth.  This is what makes every round's packing independent of earlier
+    rounds, so the device exchange may fire all rounds' ppermutes/RDMA pushes
+    concurrently (parallel/halo.py).  A relay scheme (round-r sends sourcing
+    depth-<r ghosts) would need sequential rounds and is deliberately NOT
+    supported.
     """
 
     partner: int
@@ -40,10 +48,8 @@ class CommEntry:
     recvidx: np.ndarray
 
     def validate(self, npoint: int, nowned: int) -> None:
-        check_index_array(self.sendidx, name="sendidx", lo=0, hi=npoint)
+        check_index_array(self.sendidx, name="sendidx", lo=0, hi=nowned)
         check_index_array(self.recvidx, name="recvidx", lo=nowned, hi=npoint, unique=True)
-        if self.round == 0:
-            check_index_array(self.sendidx, name="sendidx(round0)", lo=0, hi=nowned)
 
 
 @dataclass

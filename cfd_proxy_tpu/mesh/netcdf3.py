@@ -48,7 +48,7 @@ def _nc_type_for(arr: np.ndarray) -> int:
     kind, size = arr.dtype.kind, arr.dtype.itemsize
     if kind == "i" and size == 1:
         return NC_BYTE
-    if kind in "SU" or kind == "c":
+    if kind in "SU":
         return NC_CHAR
     if kind == "i" and size == 2:
         return NC_SHORT
@@ -142,8 +142,11 @@ def write(path: str, ds: Dataset) -> None:
         vsize = _pad4(cast.size * _TYPE_SIZE[t])
         var_meta.append((name, dnames, t, cast, vsize))
 
+    # version by the FINAL byte offset (header + data), not data size alone —
+    # a begin offset past 2^31-1 needs 64-bit offsets even if data fits
     total_data = sum(v[4] for v in var_meta)
-    version = 2 if total_data > (1 << 31) - 1 else 1
+    header_bound = 1 << 16  # generous bound; mesh headers are a few KB
+    version = 2 if header_bound + total_data > (1 << 31) - 1 else 1
     offt = ">q" if version == 2 else ">i"
 
     header: list[bytes] = [b"CDF", bytes([version]), struct.pack(">i", 0)]  # numrecs=0
@@ -181,6 +184,8 @@ def write(path: str, ds: Dataset) -> None:
     for name, _dn, _t, _cast, vsize in var_meta:
         begin_of[name] = pos
         pos += vsize
+    check(version == 2 or pos <= (1 << 31) - 1,
+          "netcdf3 writer: offsets exceed CDF-1 range (header too large?)")
 
     with open(path, "wb") as f:
         f.write(base)

@@ -92,7 +92,9 @@ class GreenGaussModel:
         # stack per-shard metadata along a leading device axis and place it
         self._sharding = NamedSharding(self.mesh, P(AXIS))
         def stack(*xs):
-            return jax.device_put(jnp.stack(xs), self._sharding)
+            # host-side stack; single explicit placement onto the mesh
+            return jax.device_put(np.stack([np.asarray(x) for x in xs]),
+                                  self._sharding)
 
         self.dsweep = jax.tree_util.tree_map(stack, *dsweeps)
         self.halo = jax.tree_util.tree_map(stack, *halos)
@@ -100,15 +102,15 @@ class GreenGaussModel:
 
     # ---------------------------------------------------------------- state
 
-    def distribute_state(self, gvar: np.ndarray, global_ids_ok: bool = True) -> jax.Array:
+    def distribute_state(self, gvar: np.ndarray) -> jax.Array:
         """Scatter a global state array (N, nvar) to owned rows per shard and
         fill ghosts with a device-side var exchange."""
         vs = []
         for p in self.parts:
             v = np.zeros((self.npoint_pad, self.nvar), dtype=np.float64)
             v[: p.nowned] = gvar[p.global_ids[: p.nowned]]
-            vs.append(jnp.asarray(v, dtype=self.dtype))
-        var = jax.device_put(jnp.stack(vs), self._sharding)
+            vs.append(v.astype(self.dtype))
+        var = jax.device_put(np.stack(vs), self._sharding)
         return self.exchange_var(var)
 
     def exchange_var(self, var: jax.Array) -> jax.Array:
@@ -161,13 +163,15 @@ class GreenGaussModel:
         if key not in self._step_cache:
             step = self.step_fn(schedule, exact=exact)
             nvar = self.nvar
-            eps = jnp.asarray(1e-30, self.dtype)
 
             @jax.jit
             def run_n(n, var, dsw, halo):
                 def body(_i, v):
                     g = step(v, dsw, halo)
-                    return v + eps * g[..., :nvar]
+                    # python literal: stays weakly typed inside the trace (an
+                    # eager jnp.asarray here would dispatch to the DEFAULT
+                    # device — on axon, a hanging f64 TPU compile)
+                    return v + 1e-30 * g[..., :nvar]
 
                 return jax.lax.fori_loop(0, n, body, var)
 
@@ -177,7 +181,7 @@ class GreenGaussModel:
 
     # ------------------------------------------------------------- gather
 
-    def gather_global(self, stacked: jax.Array, *, owned_only: bool = True) -> np.ndarray:
+    def gather_global(self, stacked: jax.Array) -> np.ndarray:
         """Collect a stacked per-shard array back to global numbering (host)."""
         arr = np.asarray(stacked)
         ncol = arr.shape[-1]

@@ -138,21 +138,33 @@ class GreenGaussPallas:
         self.mesh = Mesh(np.array(devices[:P_]), (AXIS,))
         self._sharding = NamedSharding(self.mesh, P(AXIS))
 
-        # block plans per class, two-pass for uniform shapes across shards
+        # block plans per class, two-pass for uniform shapes across shards.
+        # Bit-equality construction (matches the XLA backend's, SURVEY.md §4b):
+        # - the BULK plan sees faces REORDERED [boundary | interior], so each
+        #   point's slots sum boundary first, exactly like the composed
+        #   boundary∘interior chain (kernels seed accumulation from init);
+        # - the BOUNDARY kernel emits UNSCALED sums (scale = 1); volume
+        #   scaling is applied once, by the interior/bulk kernel, and at PACK
+        #   time for the halo payload — so scale distributes identically.
+        ones = np.ones(lay.ndev, dtype=np.float64)
         raw: dict[str, list[BlockPlan]] = {c: [] for c in CLASSES}
         face_sets = []
-        for p in self.parts:
+        pack_scale = np.zeros_like(lay.send_mask)
+        for d, p in enumerate(self.parts):
             fd, nd = device_faces(p, lay)
             inv = device_inv_scale(p, lay)
             sp = send_point_set(p)
             is_send = np.zeros(lay.ndev, bool)
             is_send[sp] = True          # send points are owned; ids unchanged
             bsel = is_send[fd[:, 0]] | is_send[fd[:, 1]]
-            face_sets.append((fd, nd, inv, bsel))
-            raw["bulk"].append(build_block_plan(fd, nd, lay.ndev, inv, bp=bp,
-                                                all_blocks=True))
-            raw["boundary"].append(build_block_plan(fd, nd, lay.ndev, inv, bp=bp,
-                                                    face_sel=bsel))
+            order = np.concatenate([np.flatnonzero(bsel), np.flatnonzero(~bsel)])
+            fd_ord, nd_ord = fd[order], nd[order]
+            face_sets.append((fd, nd, fd_ord, nd_ord, inv, bsel))
+            pack_scale[d] = lay.send_mask[d] * inv[lay.send_idx[d]]
+            raw["bulk"].append(build_block_plan(fd_ord, nd_ord, lay.ndev, inv,
+                                                bp=bp, all_blocks=True))
+            raw["boundary"].append(build_block_plan(fd, nd, lay.ndev, ones,
+                                                    bp=bp, face_sel=bsel))
             raw["interior"].append(build_block_plan(fd, nd, lay.ndev, inv, bp=bp,
                                                     face_sel=~bsel, all_blocks=True))
 
@@ -163,18 +175,28 @@ class GreenGaussPallas:
             ks = max(pl.kslots for pl in raw[c])
             nb = max(pl.nblocks for pl in raw[c])
             rebuilt = []
-            for (fd, nd, inv, bsel), pl0 in zip(face_sets, raw[c]):
-                sel = {"bulk": None, "boundary": bsel, "interior": ~bsel}[c]
-                pl1 = build_block_plan(
-                    fd, nd, lay.ndev, inv, bp=bp, face_sel=sel,
-                    all_blocks=(c != "boundary"), pads=(ep, ks),
-                )
+            for (fd, nd, fd_ord, nd_ord, inv, bsel), pl0 in zip(face_sets, raw[c]):
+                if c == "bulk":
+                    pl1 = build_block_plan(fd_ord, nd_ord, lay.ndev, inv,
+                                           bp=bp, all_blocks=True, pads=(ep, ks))
+                elif c == "boundary":
+                    pl1 = build_block_plan(fd, nd, lay.ndev, ones, bp=bp,
+                                           face_sel=bsel, pads=(ep, ks))
+                else:
+                    pl1 = build_block_plan(fd, nd, lay.ndev, inv, bp=bp,
+                                           face_sel=~bsel, all_blocks=True,
+                                           pads=(ep, ks))
                 rebuilt.append(_pad_blocks(pl1, nb, lay.ndev // bp - 1))
             self._dims[c] = (ep, ks, nb)
             self._plans_dev[c] = self._stack_plans(rebuilt)
+        self._pack_scale_host = pack_scale
 
         self._send_idx = jax.device_put(jnp.asarray(lay.send_idx), self._sharding)
         self._send_mask = jax.device_put(jnp.asarray(lay.send_mask), self._sharding)
+        # pack-time volume scaling for the UNSCALED boundary sums (f32 cast
+        # matches the bulk kernel's scale multiply operand bit-for-bit)
+        self._pack_scale = jax.device_put(
+            jnp.asarray(self._pack_scale_host.astype(np.float32)), self._sharding)
         self._dsts = jax.device_put(jnp.asarray(lay.dsts), self._sharding)
         self._srcs = jax.device_put(jnp.asarray(lay.srcs), self._sharding)
         # any phase with a real transfer? → the fused RDMA overlap kernel is
@@ -291,22 +313,25 @@ class GreenGaussPallas:
         if schedule not in self._step_cache:
             lay = self.layout
 
-            def body(var_T, e_bulk, e_b, e_i, send_idx, send_mask, dsts, srcs,
-                     pb, pbd, pi):
+            def body(var_T, e_bulk, e_b, e_i, send_idx, send_mask, pack_scale,
+                     dsts, srcs, pb, pbd, pi):
                 v = var_T[0]
                 sidx = send_idx[0]
                 smask = send_mask[0]
+                pscale = pack_scale[0]
                 if schedule in ("bulk", "nocomm"):
                     g = self._sweep("bulk", v, e_bulk[0], _sq(pb))
                     if schedule == "bulk":
+                        # bulk grads are already volume-scaled: mask only
                         bufs = self._exchange_start(g, sidx, smask)
                         g = self._exchange_finish(g, bufs)
                 elif schedule == "overlap" and self._has_comm:
                     # full-overlap: fused interior sweep + in-kernel RDMA push
                     zeros = jnp.zeros((out_rows(self.op), lay.ndev), jnp.float32)
                     gb = self._sweep("boundary", v, e_b[0], _sq(pbd), init=zeros)
+                    # boundary sums are UNSCALED; apply 1/V at pack time
                     packed = jnp.stack([
-                        jnp.take(gb, sidx[k], axis=1) * smask[k][None, :]
+                        jnp.take(gb, sidx[k], axis=1) * pscale[k][None, :]
                         for k in range(lay.nphases)
                     ])
                     ep, ks, nb = self._dims["interior"]
@@ -323,14 +348,14 @@ class GreenGaussPallas:
                 else:  # early (or overlap with no comm)
                     zeros = jnp.zeros((out_rows(self.op), lay.ndev), jnp.float32)
                     gb = self._sweep("boundary", v, e_b[0], _sq(pbd), init=zeros)
-                    bufs = self._exchange_start(gb, sidx, smask)
+                    bufs = self._exchange_start(gb, sidx, pscale)
                     g = self._sweep("interior", v, e_i[0], _sq(pi), init=gb)
                     g = self._exchange_finish(g, bufs)
                 return g[None]
 
             fn = _shard_map(
                 body, self.mesh,
-                in_specs=(P(AXIS),) * 11,
+                in_specs=(P(AXIS),) * 12,
                 out_specs=P(AXIS),
             )
             self._step_cache[schedule] = jax.jit(fn)
@@ -340,7 +365,7 @@ class GreenGaussPallas:
         return (
             state["var_T"], state["exts_bulk"], state["exts_boundary"],
             state["exts_interior"], self._send_idx, self._send_mask,
-            self._dsts, self._srcs,
+            self._pack_scale, self._dsts, self._srcs,
             self._plans_dev["bulk"], self._plans_dev["boundary"],
             self._plans_dev["interior"],
         )
@@ -360,10 +385,10 @@ class GreenGaussPallas:
 
             @jax.jit
             def run_n(n, var_T, e_bulk, e_b, e_i, send_idx, send_mask,
-                      dsts, srcs, pb, pbd, pi):
+                      pack_scale, dsts, srcs, pb, pbd, pi):
                 def body(_i, v):
                     g = step(v, e_bulk, e_b, e_i, send_idx, send_mask,
-                             dsts, srcs, pb, pbd, pi)
+                             pack_scale, dsts, srcs, pb, pbd, pi)
                     return v + 1e-30 * g[:, :NV, :]
 
                 return jax.lax.fori_loop(0, n, body, var_T)

@@ -49,13 +49,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cfd_proxy_tpu.utils.errors import check
+from cfd_proxy_tpu.utils import round_up
 
 LANE = 128
 NV = 8          # padded variable count (sublane tile for f32)
 
 
-def round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 @dataclass
@@ -276,8 +275,14 @@ def _block_compute(bp: int, ep: int, kslots: int, accumulate: bool, op: str):
             own_tile = own_ref[:, t * LANE : (t + 1) * LANE]      # (NV, 128)
 
             # K loop statically unrolled: Mosaic cannot dynamically index the
-            # sublane axis of the slot tables ("unaligned dynamic load")
-            acc = jnp.zeros((rows, LANE), jnp.float32)
+            # sublane axis of the slot tables ("unaligned dynamic load").
+            # Accumulation SEEDS from init (boundary sums) so the composed
+            # boundary∘interior chain adds slots in exactly the bulk order —
+            # the bit-equality-of-schedules invariant (SURVEY.md §4b).
+            if accumulate:
+                acc = init_ref[:, t * LANE : (t + 1) * LANE]
+            else:
+                acc = jnp.zeros((rows, LANE), jnp.float32)
             for k in range(kslots):
                 idx = sidx_ref[0, k, t * LANE : (t + 1) * LANE]   # (128,)
                 # hoist the vreg id / in-vreg offset out of the pass loop:
@@ -302,8 +307,6 @@ def _block_compute(bp: int, ep: int, kslots: int, accumulate: bool, op: str):
                                        + uow[None, :] * gat) \
                         - 0.5 * a[None, :] * (gat - own_tile)
             acc = acc * scale_ref[0, 0, t * LANE : (t + 1) * LANE][None, :]
-            if accumulate:
-                acc = acc + init_ref[:, t * LANE : (t + 1) * LANE]
             out_ref[:, t * LANE : (t + 1) * LANE] = acc
 
     return compute

@@ -41,13 +41,12 @@ from dataclasses import dataclass
 import numpy as np
 
 from cfd_proxy_tpu.utils.errors import check
+from cfd_proxy_tpu.utils import round_up
 
 LANE = 128
 SUBLANE = 8
 
 
-def round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 @dataclass

@@ -56,28 +56,33 @@ class DeviceSweep:
 
 
 def device_sweep(plan: SweepPlan, dtype=jnp.float32) -> DeviceSweep:
-    """Upload a host SweepPlan as device arrays in the compute dtype."""
+    """Materialise a SweepPlan in the compute dtype.
+
+    Arrays are HOST numpy (uploaded by the caller via an explicit sharded
+    device_put, or implicitly at the first jit call) — eager jnp.asarray here
+    would place them on the DEFAULT device, which breaks CPU-pinned f64 runs
+    on a TPU host (and hangs on axon's f64 remote compile)."""
     bp = plan.nface_b_pad
     owned = np.zeros((plan.npoint_pad, 1), dtype=np.float64)
     owned[: plan.nowned] = 1.0
     invvol = np.ones((plan.npoint_pad, 1), dtype=np.float64)
     return DeviceSweep(
-        faces_b=jnp.asarray(plan.faces[:bp], dtype=jnp.int32),
-        normals_b=jnp.asarray(plan.normals[:bp], dtype=dtype),
-        faces_i=jnp.asarray(plan.faces[bp:], dtype=jnp.int32),
-        normals_i=jnp.asarray(plan.normals[bp:], dtype=dtype),
-        b_points=jnp.asarray(plan.ell_boundary.points, dtype=jnp.int32),
-        binc_face=jnp.asarray(plan.ell_boundary.inc_face, dtype=jnp.int32),
-        binc_sign=jnp.asarray(plan.ell_boundary.inc_sign, dtype=dtype),
-        iinc_face=jnp.asarray(plan.ell_interior.inc_face, dtype=jnp.int32),
-        iinc_sign=jnp.asarray(plan.ell_interior.inc_sign, dtype=dtype),
-        finc_face=jnp.asarray(plan.ell_full.inc_face, dtype=jnp.int32),
-        finc_sign=jnp.asarray(plan.ell_full.inc_sign, dtype=dtype),
-        row_face=jnp.asarray(plan.row_face, dtype=jnp.int32),
-        row_sign=jnp.asarray(plan.row_sign, dtype=dtype),
-        row_point=jnp.asarray(plan.row_point, dtype=jnp.int32),
-        owned_mask=jnp.asarray(owned, dtype=dtype),
-        inv_volume=jnp.asarray(invvol, dtype=dtype),
+        faces_b=np.asarray(plan.faces[:bp], dtype=jnp.int32),
+        normals_b=np.asarray(plan.normals[:bp], dtype=dtype),
+        faces_i=np.asarray(plan.faces[bp:], dtype=jnp.int32),
+        normals_i=np.asarray(plan.normals[bp:], dtype=dtype),
+        b_points=np.asarray(plan.ell_boundary.points, dtype=jnp.int32),
+        binc_face=np.asarray(plan.ell_boundary.inc_face, dtype=jnp.int32),
+        binc_sign=np.asarray(plan.ell_boundary.inc_sign, dtype=dtype),
+        iinc_face=np.asarray(plan.ell_interior.inc_face, dtype=jnp.int32),
+        iinc_sign=np.asarray(plan.ell_interior.inc_sign, dtype=dtype),
+        finc_face=np.asarray(plan.ell_full.inc_face, dtype=jnp.int32),
+        finc_sign=np.asarray(plan.ell_full.inc_sign, dtype=dtype),
+        row_face=np.asarray(plan.row_face, dtype=jnp.int32),
+        row_sign=np.asarray(plan.row_sign, dtype=dtype),
+        row_point=np.asarray(plan.row_point, dtype=jnp.int32),
+        owned_mask=np.asarray(owned, dtype=dtype),
+        inv_volume=np.asarray(invvol, dtype=dtype),
     )
 
 
@@ -88,7 +93,7 @@ def set_volume(ds: DeviceSweep, volume: np.ndarray, nowned: int) -> DeviceSweep:
     invvol = np.ones((ds.inv_volume.shape[0], 1), dtype=np.float64)
     invvol[:nowned, 0] = 1.0 / volume[:nowned]
     return dataclasses.replace(
-        ds, inv_volume=jnp.asarray(invvol, dtype=ds.inv_volume.dtype)
+        ds, inv_volume=np.asarray(invvol, dtype=ds.inv_volume.dtype)
     )
 
 

@@ -11,9 +11,10 @@ and the transport×schedule matrix survives as a *schedule* axis:
   early   — boundary sweep → exchange started → interior sweep independent of
             the exchange → merge (the early-posted-receive / async-collective
             analogue; XLA overlaps the ppermute with the interior kernel);
-  overlap — the GASPI full-overlap analogue: Pallas kernel pushes halo data
-            with `make_async_remote_copy` RDMA while computing interior faces
-            (parallel/overlap_pallas.py).
+  overlap — the GASPI full-overlap analogue: a fused Pallas kernel pushes
+            halo data with `make_async_remote_copy` RDMA while computing
+            interior faces (ops/blocksweep.py::sweep_blocks_overlap, wired in
+            models/gradients_pallas.py).
 """
 
 from cfd_proxy_tpu.parallel.topology import HaloTopology, build_halo_topology

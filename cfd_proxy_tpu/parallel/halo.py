@@ -54,9 +54,10 @@ def device_halo(topo: HaloTopology, part_id: int) -> DeviceHalo:
         perms.append(tuple(ph.perm))
     if not topo.phases:
         perms = []
+    # host numpy: placement happens once via the model's sharded device_put
     return DeviceHalo(
-        send_idx=jnp.asarray(send),
-        recv_idx=jnp.asarray(recv),
+        send_idx=send,
+        recv_idx=recv,
         perms=tuple(perms),
     )
 

@@ -10,9 +10,9 @@ cross-variant verification):
   bulk : full sweep → scale → exchange            (compute/comm serialized)
   early: boundary sweep → ppermutes fired → interior sweep (independent of
          the in-flight collectives → XLA overlaps) → scale → scatter
-  overlap: same dataflow as `early` here; the Pallas RDMA realisation lives
-         in parallel/overlap_pallas.py and is selected by the model layer
-         when available (single-kernel compute+RDMA, the gaspi_write_notify
+  overlap: same dataflow as `early` on this XLA backend; the Pallas backend
+         realises it as a single fused compute+RDMA kernel
+         (ops/blocksweep.py::sweep_blocks_overlap — the gaspi_write_notify
          analogue).
 
 Pack-time scaling: ghost receivers get volume-scaled gradients, so senders

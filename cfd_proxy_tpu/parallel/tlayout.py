@@ -28,12 +28,11 @@ import numpy as np
 from cfd_proxy_tpu.mesh.model import MeshPartition
 from cfd_proxy_tpu.parallel.topology import HaloTopology
 from cfd_proxy_tpu.utils.errors import check
+from cfd_proxy_tpu.utils import round_up
 
 LANE = 128
 
 
-def round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 @dataclass

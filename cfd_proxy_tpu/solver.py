@@ -77,8 +77,19 @@ def build_model(cfg: SolverConfig):
     else:
         if cfg.model != "gg":
             raise SystemExit("--model flux requires --backend pallas")
+        devices = None
+        if cfg.dtype == "float64":
+            # without this, jax silently truncates to f32 and the f64
+            # verification anchor quietly degrades
+            import jax
+
+            jax.config.update("jax_enable_x64", True)
+            if jax.default_backend() == "tpu":
+                # f64 is (slowly) emulated on TPU; the f64 gate is a CPU
+                # verification path — run it there
+                devices = jax.devices("cpu")[: cfg.parts]
         dtype = {"float32": jnp.float32, "float64": jnp.float64}[cfg.dtype]
-        model = GreenGaussModel(parts, cfg.nvar, dtype=dtype)
+        model = GreenGaussModel(parts, cfg.nvar, dtype=dtype, devices=devices)
     return model, gmesh
 
 
@@ -113,7 +124,7 @@ def time_schedule(
     return stats
 
 
-def run(cfg: SolverConfig) -> dict:
+def run(cfg: SolverConfig) -> tuple[dict, list[IterationStats]]:
     import jax
 
     model, gmesh = build_model(cfg)

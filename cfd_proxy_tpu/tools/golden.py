@@ -70,6 +70,9 @@ def cmd_check(args) -> int:
 
         model = GreenGaussPallas(parts, args.nvar)
     else:
+        import jax
+
+        jax.config.update("jax_enable_x64", True)  # real f64, not truncated
         import jax.numpy as jnp
 
         from cfd_proxy_tpu.models import GreenGaussModel

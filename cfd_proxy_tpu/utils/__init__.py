@@ -8,6 +8,12 @@ SURVEY.md §2 L0 and §5.1.
 from cfd_proxy_tpu.utils.errors import CheckError, check, check_index_array
 from cfd_proxy_tpu.utils.timing import IterationStats, Timer, format_stats_table
 
+
+def round_up(x: int, m: int) -> int:
+    """Smallest multiple of m that is >= x."""
+    return ((x + m - 1) // m) * m
+
+
 __all__ = [
     "CheckError",
     "check",
@@ -15,4 +21,5 @@ __all__ = [
     "Timer",
     "IterationStats",
     "format_stats_table",
+    "round_up",
 ]

@@ -52,9 +52,12 @@ def test_flux_model_matches_golden(mesh, npart):
     state = model.distribute_state(gvar)
     denom = max(1.0, np.abs(gref).max())
     outs = {}
-    for s in ("bulk", "early"):
+    for s in ("bulk", "early", "overlap"):
         outs[s] = np.asarray(model.step(state, s))
         got = model.gather_global(outs[s])
         err = np.abs(got - gref).max() / denom
         assert err < 1e-5, f"{s}: rel err {err}"
-    assert np.abs(outs["early"] - outs["bulk"]).max() < 1e-4
+    # identical order/scale by construction; ≤ULPs of compiler contraction
+    scale_ref = max(1.0, np.abs(outs["bulk"]).max())
+    assert np.abs(outs["early"] - outs["bulk"]).max() / scale_ref < 1e-6
+    assert np.abs(outs["overlap"] - outs["early"]).max() / scale_ref < 1e-6

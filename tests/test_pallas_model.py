@@ -45,9 +45,14 @@ def test_pallas_schedules_match_golden(mesh, gvar, gref, npart, ghost_layers):
         got = model.gather_global(outs[s])
         err = np.abs(got - gref).max() / denom
         assert err < 1e-5, f"{s}: rel err {err}"
-    # schedules agree tightly with each other (same f32 pipeline)
-    assert np.abs(outs["early"] - outs["bulk"]).max() < 1e-4
-    assert np.abs(outs["overlap"] - outs["early"]).max() == 0.0
+    # schedules agree to within compiler FMA-contraction noise: summation
+    # order and scale distribution are IDENTICAL by construction (boundary-
+    # first bulk slot order, seeded accumulation, pack-time scaling), but
+    # separately-compiled kernels may contract multiply-adds differently
+    # (XLA runs with allow_excess_precision) → up to a few ULPs
+    scale_ref = max(1.0, np.abs(outs["bulk"]).max())
+    assert np.abs(outs["early"] - outs["bulk"]).max() / scale_ref < 1e-6
+    assert np.abs(outs["overlap"] - outs["early"]).max() / scale_ref < 1e-6
     # ghost regions: filled by exchange in bulk, zero-scaled before
     assert np.isfinite(outs["bulk"]).all()
 
