@@ -42,6 +42,8 @@ class SolverConfig:
     schedule: str = "all"
     backend: str = "pallas"     # pallas (production) | xla (reference)
     model: str = "gg"           # gg (Green-Gauss gradients) | flux (PSD flux)
+    bp: int = 256               # points per Pallas block — the thread-config
+                                # analogue (reference: pthread count sweeps)
     dtype: str = "float32"
     diag_frac: float = 0.2
     jitter: float = 0.05
@@ -73,7 +75,7 @@ def build_model(cfg: SolverConfig):
 
         if cfg.dtype != "float32":
             raise SystemExit("pallas backend is float32; use --backend xla for f64")
-        model = GreenGaussPallas(parts, cfg.nvar, op=cfg.model)
+        model = GreenGaussPallas(parts, cfg.nvar, op=cfg.model, bp=cfg.bp)
     else:
         if cfg.model != "gg":
             raise SystemExit("--model flux requires --backend pallas")
@@ -252,6 +254,8 @@ def main(argv=None) -> int:
     ap.add_argument("--schedule", default="all", choices=["all", *SCHEDULES])
     ap.add_argument("--backend", default="pallas", choices=["pallas", "xla"])
     ap.add_argument("--model", default="gg", choices=["gg", "flux"])
+    ap.add_argument("--bp", type=int, default=256,
+                    help="points per Pallas block (multiple of 128)")
     ap.add_argument("--dtype", default="float32", choices=["float32", "float64"])
     ap.add_argument("--diag-frac", type=float, default=0.2)
     ap.add_argument("--seed", type=int, default=0)
@@ -265,7 +269,7 @@ def main(argv=None) -> int:
         nx=args.nx, ny=args.ny, nz=args.nz, mesh_prefix=args.mesh_prefix,
         parts=args.parts, ghost_layers=args.ghost_layers, nvar=args.nvar,
         iters=args.iters, warmup=args.warmup, schedule=args.schedule,
-        backend=args.backend, model=args.model, dtype=args.dtype,
+        backend=args.backend, model=args.model, bp=args.bp, dtype=args.dtype,
         diag_frac=args.diag_frac, seed=args.seed,
         verify=not args.no_verify, json_out=args.json,
         profile_dir=args.profile_dir,
