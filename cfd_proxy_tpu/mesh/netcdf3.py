@@ -142,26 +142,22 @@ def write(path: str, ds: Dataset) -> None:
         vsize = _pad4(cast.size * _TYPE_SIZE[t])
         var_meta.append((name, dnames, t, cast, vsize))
 
-    # version by the FINAL byte offset (header + data), not data size alone —
-    # a begin offset past 2^31-1 needs 64-bit offsets even if data fits
     total_data = sum(v[4] for v in var_meta)
-    header_bound = 1 << 16  # generous bound; mesh headers are a few KB
-    version = 2 if header_bound + total_data > (1 << 31) - 1 else 1
-    offt = ">q" if version == 2 else ">i"
 
-    header: list[bytes] = [b"CDF", bytes([version]), struct.pack(">i", 0)]  # numrecs=0
-    # dim list
-    if dim_names:
-        header.append(struct.pack(">ii", _NC_DIMENSION, len(dim_names)))
-        for n in dim_names:
-            _write_name(header, n)
-            header.append(struct.pack(">i", ds.dims[n]))
-    else:
-        header.append(_NC_ABSENT)
-    _write_attr_list(header, ds.attrs)
+    def make_base(version: int) -> bytes:
+        header: list[bytes] = [b"CDF", bytes([version]), struct.pack(">i", 0)]
+        if dim_names:
+            header.append(struct.pack(">ii", _NC_DIMENSION, len(dim_names)))
+            for n in dim_names:
+                _write_name(header, n)
+                header.append(struct.pack(">i", ds.dims[n]))
+        else:
+            header.append(_NC_ABSENT)
+        _write_attr_list(header, ds.attrs)
+        return b"".join(header)
 
-    # var list — two passes: sizes first (begin offsets depend on header size)
-    def var_header(begin_of: dict[str, int]) -> bytes:
+    def make_var_header(version: int, begin_of: dict[str, int]) -> bytes:
+        offt = ">q" if version == 2 else ">i"
         out: list[bytes] = []
         if var_meta:
             out.append(struct.pack(">ii", _NC_VARIABLE, len(var_meta)))
@@ -177,7 +173,15 @@ def write(path: str, ds: Dataset) -> None:
             out.append(_NC_ABSENT)
         return b"".join(out)
 
-    base = b"".join(header)
+    # choose the version from the EXACT final offset under CDF-1 headers —
+    # a begin offset past 2^31-1 needs 64-bit offsets even if data fits
+    hdr1 = len(make_base(1)) + len(make_var_header(1, {}))
+    version = 1 if hdr1 + total_data <= (1 << 31) - 1 else 2
+
+    def var_header(begin_of: dict[str, int]) -> bytes:
+        return make_var_header(version, begin_of)
+
+    base = make_base(version)
     hdr_len = len(base) + len(var_header({}))
     begin_of: dict[str, int] = {}
     pos = hdr_len

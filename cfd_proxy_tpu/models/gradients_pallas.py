@@ -189,14 +189,13 @@ class GreenGaussPallas:
                 rebuilt.append(_pad_blocks(pl1, nb, lay.ndev // bp - 1))
             self._dims[c] = (ep, ks, nb)
             self._plans_dev[c] = self._stack_plans(rebuilt)
-        self._pack_scale_host = pack_scale
 
         self._send_idx = jax.device_put(jnp.asarray(lay.send_idx), self._sharding)
         self._send_mask = jax.device_put(jnp.asarray(lay.send_mask), self._sharding)
         # pack-time volume scaling for the UNSCALED boundary sums (f32 cast
         # matches the bulk kernel's scale multiply operand bit-for-bit)
         self._pack_scale = jax.device_put(
-            jnp.asarray(self._pack_scale_host.astype(np.float32)), self._sharding)
+            pack_scale.astype(np.float32), self._sharding)
         self._dsts = jax.device_put(jnp.asarray(lay.dsts), self._sharding)
         self._srcs = jax.device_put(jnp.asarray(lay.srcs), self._sharding)
         # any phase with a real transfer? → the fused RDMA overlap kernel is

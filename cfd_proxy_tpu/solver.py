@@ -86,13 +86,34 @@ def build_model(cfg: SolverConfig):
             import jax
 
             jax.config.update("jax_enable_x64", True)
-            if jax.default_backend() == "tpu":
-                # f64 is (slowly) emulated on TPU; the f64 gate is a CPU
-                # verification path — run it there
-                devices = jax.devices("cpu")[: cfg.parts]
+            devices = f64_devices(cfg.parts)
         dtype = {"float32": jnp.float32, "float64": jnp.float64}[cfg.dtype]
         model = GreenGaussModel(parts, cfg.nvar, dtype=dtype, devices=devices)
     return model, gmesh
+
+
+def f64_devices(parts: int):
+    """Devices for the f64 verification gate: CPU on TPU hosts (axon's f64
+    TPU compiles hang).  Grows the CPU device pool if the backend is not yet
+    initialised; otherwise explains how to pre-size it."""
+    import jax
+
+    # size the CPU pool BEFORE anything initialises the backend (querying
+    # default_backend/devices initialises it and freezes the device count)
+    try:
+        jax.config.update("jax_num_cpu_devices", max(parts, 1))
+    except RuntimeError:
+        pass
+    if jax.default_backend() != "tpu":
+        return None
+    devs = jax.devices("cpu")
+    if len(devs) < parts:
+        raise SystemExit(
+            f"f64 runs on CPU devices on a TPU host, but only {len(devs)} "
+            f"are available; rerun with XLA_FLAGS="
+            f"--xla_force_host_platform_device_count={parts}"
+        )
+    return devs[:parts]
 
 
 def _sync_scalar(out) -> float:
@@ -139,7 +160,7 @@ def run(cfg: SolverConfig) -> tuple[dict, list[IterationStats]]:
     schedules = list(SCHEDULES) if cfg.schedule == "all" else [cfg.schedule]
     all_stats: list[IterationStats] = []
     results: dict = {
-        "device": str(jax.devices()[0]),
+        "device": str(model.mesh.devices.flatten()[0]),
         "npart": len(model.parts),
         "npoint": npoint_total,
         "nface": nface_total,
@@ -155,8 +176,6 @@ def run(cfg: SolverConfig) -> tuple[dict, list[IterationStats]]:
         # optional device traces (SURVEY.md §5.1: the reference has only
         # self-timing; we add jax.profiler on request). May be unsupported
         # on tunneled backends — degrade gracefully.
-        import contextlib
-
         try:
             import jax.profiler
 
@@ -166,32 +185,33 @@ def run(cfg: SolverConfig) -> tuple[dict, list[IterationStats]]:
             print(f"profiler unavailable: {e}", file=__import__("sys").stderr)
             profiler_cm = None
 
-    # compute-only floor, for overlap efficiency (only worth a compile when
-    # several schedules are being compared)
-    nocomm = None
-    if len(schedules) > 1:
-        nocomm = time_schedule(model, var, "nocomm", cfg.iters, cfg.warmup)
-    bulk_med = None
-    for s in schedules:
-        st = time_schedule(model, var, s, cfg.iters, cfg.warmup)
-        all_stats.append(st)
-        if s == "bulk":
-            bulk_med = st.median
-        entry = st.summary()
-        entry["faces_per_sec"] = nface_total / st.median
-        results["schedules"][s] = entry
-    if nocomm is not None:
-        all_stats.append(nocomm)
-        comm_cost = (bulk_med - nocomm.median) if bulk_med else None
+    try:
+        # compute-only floor, for overlap efficiency (only worth a compile
+        # when several schedules are being compared)
+        nocomm = None
+        if len(schedules) > 1:
+            nocomm = time_schedule(model, var, "nocomm", cfg.iters, cfg.warmup)
+        bulk_med = None
         for s in schedules:
-            if comm_cost and comm_cost > 0 and s != "bulk":
-                exposed = results["schedules"][s]["median_s"] - nocomm.median
-                results["schedules"][s]["overlap_efficiency"] = float(
-                    np.clip(1.0 - exposed / comm_cost, 0.0, 1.0)
-                )
-
-    if profiler_cm is not None:
-        profiler_cm.__exit__(None, None, None)
+            st = time_schedule(model, var, s, cfg.iters, cfg.warmup)
+            all_stats.append(st)
+            if s == "bulk":
+                bulk_med = st.median
+            entry = st.summary()
+            entry["faces_per_sec"] = nface_total / st.median
+            results["schedules"][s] = entry
+        if nocomm is not None:
+            all_stats.append(nocomm)
+            comm_cost = (bulk_med - nocomm.median) if bulk_med else None
+            for s in schedules:
+                if comm_cost and comm_cost > 0 and s != "bulk":
+                    exposed = results["schedules"][s]["median_s"] - nocomm.median
+                    results["schedules"][s]["overlap_efficiency"] = float(
+                        np.clip(1.0 - exposed / comm_cost, 0.0, 1.0)
+                    )
+    finally:
+        if profiler_cm is not None:
+            profiler_cm.__exit__(None, None, None)
 
     if cfg.verify:
         results["verification"] = verify_model(model, var, schedules, gmesh, rng_state)

@@ -76,14 +76,16 @@ def cmd_check(args) -> int:
         import jax.numpy as jnp
 
         from cfd_proxy_tpu.models import GreenGaussModel
+        from cfd_proxy_tpu.solver import f64_devices
 
-        model = GreenGaussModel(parts, args.nvar, dtype=jnp.float64)
+        model = GreenGaussModel(parts, args.nvar, dtype=jnp.float64,
+                                devices=f64_devices(args.parts))
     state = model.distribute_state(var)
     got = model.gather_global(model.step(state, args.schedule))
     denom = max(1.0, float(np.abs(ref).max()))
     rel = float(np.abs(got - ref).max()) / denom
-    # documented f32 bound: same per-point summation order as the golden →
-    # error is pure rounding, ~K·2^-24 relative
+    # documented f32 bound: rounding over ~K reordered f32 accumulations
+    # (the Pallas bulk plan sums boundary faces first) ≈ K·2^-24 relative
     bound = 1e-12 if got.dtype == np.float64 else 1e-5
     ok = rel < bound
     print(f"{args.backend}/{args.schedule} vs {args.ref}: rel max err "
