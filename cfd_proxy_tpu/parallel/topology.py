@@ -4,7 +4,9 @@ The reference's `setup_comm` + queue management (SURVEY.md §4.4) builds
 per-neighbor buffers; ranks then talk pairwise in whatever order the network
 serves.  `lax.ppermute` instead moves ONE buffer per device per call, so a
 device with several partners needs several calls ("phases").  Scheduling the
-directed sends into phases is edge coloring of the communication multigraph:
+directed sends into phases is edge coloring of the communication multigraph
+(the same structure used for conflict-free face scheduling in unstructured
+CFD codes — cf. PAPERS.md, "Edge coloring in unstructured CFD codes"):
 within a phase every device sends to at most one partner and receives from at
 most one partner.  Greedy coloring on the (round-ordered) edge list gives at
 most 2·maxdeg−1 phases; exchange rounds (= ghost depth, BASELINE config 5's

@@ -59,10 +59,18 @@ def build_model(cfg: SolverConfig):
     from cfd_proxy_tpu.models import GreenGaussModel
 
     if cfg.mesh_prefix:
-        parts = [
-            read_partition(partition_path(cfg.mesh_prefix, i, cfg.parts))
-            for i in range(cfg.parts)
-        ]
+        try:
+            parts = [
+                read_partition(partition_path(cfg.mesh_prefix, i, cfg.parts))
+                for i in range(cfg.parts)
+            ]
+        except FileNotFoundError as e:
+            raise SystemExit(
+                f"mesh partition file not found: {e.filename} — expected "
+                f"<prefix>.<parts>p.<i>.nc; generate with "
+                f"`python -m cfd_proxy_tpu.tools.partition --parts {cfg.parts} "
+                f"--out {cfg.mesh_prefix}`"
+            )
         gmesh = None
     else:
         gmesh = generate_mesh(
