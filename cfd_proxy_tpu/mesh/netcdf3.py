@@ -129,8 +129,11 @@ def _write_attr_list(out: list[bytes], attrs: dict[str, object]) -> None:
         out.append(payload)
 
 
-def write(path: str, ds: Dataset) -> None:
-    """Write a Dataset as a classic netCDF file (CDF-1, or CDF-2 if large)."""
+def write(path: str, ds: Dataset, *, version: int | None = None) -> None:
+    """Write a Dataset as a classic netCDF file.
+
+    version: None → auto (CDF-1, upgraded to CDF-2/64-bit-offset when the
+    final byte offset would overflow int32); 1 or 2 to force."""
     dim_names = list(ds.dims)
     dim_index = {n: i for i, n in enumerate(dim_names)}
 
@@ -173,10 +176,12 @@ def write(path: str, ds: Dataset) -> None:
             out.append(_NC_ABSENT)
         return b"".join(out)
 
-    # choose the version from the EXACT final offset under CDF-1 headers —
-    # a begin offset past 2^31-1 needs 64-bit offsets even if data fits
-    hdr1 = len(make_base(1)) + len(make_var_header(1, {}))
-    version = 1 if hdr1 + total_data <= (1 << 31) - 1 else 2
+    if version is None:
+        # choose the version from the EXACT final offset under CDF-1 headers —
+        # a begin offset past 2^31-1 needs 64-bit offsets even if data fits
+        hdr1 = len(make_base(1)) + len(make_var_header(1, {}))
+        version = 1 if hdr1 + total_data <= (1 << 31) - 1 else 2
+    check(version in (1, 2), "netcdf3 writer: version must be 1 or 2")
 
     def var_header(begin_of: dict[str, int]) -> bytes:
         return make_var_header(version, begin_of)

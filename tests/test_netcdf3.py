@@ -63,3 +63,20 @@ def test_int64_rejected(tmp_path):
     ds.add("bad", ("n",), np.arange(4, dtype=np.int64))
     with pytest.raises(ValueError):
         netcdf3.write(str(tmp_path / "bad.nc"), ds)
+
+
+def test_cdf2_roundtrip_and_scipy_interop(tmp_path):
+    from scipy.io import netcdf_file
+
+    p = str(tmp_path / "v2.nc")
+    ds = _sample_ds()
+    netcdf3.write(p, ds, version=2)
+    with open(p, "rb") as f:
+        assert f.read(4) == b"CDF\x02"  # 64-bit-offset magic
+    rd = netcdf3.read(p)
+    for name, (dims, arr) in ds.variables.items():
+        np.testing.assert_array_equal(rd.variables[name][1], arr)
+    with netcdf_file(p, "r", mmap=False, version=2) as f:
+        np.testing.assert_array_equal(
+            f.variables["faces"][:], np.arange(14, dtype=np.int32).reshape(7, 2)
+        )
