@@ -1,0 +1,93 @@
+"""Analytic multi-chip scaling model — MODEL, not measurement.
+
+This sandbox exposes ONE TPU chip, so the reference's headline story (the
+overlapped one-sided exchange strong-scales past where bulk-sync flattens;
+SURVEY.md §6) cannot be measured this round.  This tool produces the honest
+substitute: it partitions a REAL mesh, computes each shard's exact face
+counts (boundary vs interior) and exact halo byte volumes from the actual
+comm lists, and combines them with
+
+- the MEASURED single-chip sweep rate (ns/face, default from BASELINE.md),
+- a parameterised ICI link bandwidth (default 45 GB/s/direction, v5e-class),
+
+under the three schedule dataflows:
+
+    bulk    : t_sweep(all faces) + t_comm          (serialized)
+    early/
+    overlap : t_sweep(boundary) + max(t_sweep(interior), t_comm)
+
+Per-chip time is the max over shards (the benchmark barrier).  Prints a
+strong-scaling table with predicted overlap efficiency.  All model inputs are
+printed so the numbers can be re-derived.
+
+    python -m cfd_proxy_tpu.tools.scaling_model --nx 96 --parts 2 4 8 16 64
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from cfd_proxy_tpu.mesh.generator import generate_mesh
+from cfd_proxy_tpu.mesh.partition import partition_mesh, send_point_set
+
+
+def model_partitioning(mesh, P, ns_per_face, ici_gbps, rows=24):
+    parts = partition_mesh(mesh, P) if P > 1 else partition_mesh(mesh, 1)
+    t_bulk = t_over = 0.0
+    eff_num = eff_den = 0.0
+    for p in parts:
+        sp = send_point_set(p)
+        is_send = np.zeros(p.npoint, bool)
+        is_send[sp] = True
+        bsel = is_send[p.faces[:, 0]] | is_send[p.faces[:, 1]]
+        nfb = int(bsel.sum())
+        nfi = p.nface - nfb
+        send_vals = sum(e.sendidx.size for e in p.comm)
+        comm_bytes = send_vals * rows * 4
+        ts_all = p.nface * ns_per_face * 1e-9
+        ts_b = nfb * ns_per_face * 1e-9
+        ts_i = nfi * ns_per_face * 1e-9
+        tc = comm_bytes / (ici_gbps * 1e9)
+        t_bulk = max(t_bulk, ts_all + tc)
+        t_over = max(t_over, ts_b + max(ts_i, tc))
+        eff_num += min(ts_i, tc)
+        eff_den += tc
+    return parts, t_bulk, t_over, (eff_num / eff_den if eff_den else 1.0)
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="cfd_proxy_tpu.tools.scaling_model")
+    ap.add_argument("--nx", type=int, default=96)
+    ap.add_argument("--ny", type=int, default=0)
+    ap.add_argument("--nz", type=int, default=0)
+    ap.add_argument("--parts", type=int, nargs="+", default=[1, 2, 4, 8, 16, 64])
+    ap.add_argument("--ns-per-face", type=float, default=0.54,
+                    help="measured single-chip sweep rate (BASELINE.md)")
+    ap.add_argument("--ici-gbps", type=float, default=45.0,
+                    help="modeled per-link ICI bandwidth, GB/s")
+    ap.add_argument("--diag-frac", type=float, default=0.2)
+    args = ap.parse_args(argv)
+
+    mesh = generate_mesh(args.nx, args.ny or args.nx, args.nz or args.nx,
+                         jitter=0.05, diag_frac=args.diag_frac, seed=0)
+    print(f"# MODEL (not measurement): {mesh.nface} faces, "
+          f"{args.ns_per_face} ns/face sweep (measured), "
+          f"{args.ici_gbps} GB/s ICI (assumed)")
+    print(f"{'P':>4} {'bulk Gf/s':>10} {'overlap Gf/s':>13} "
+          f"{'speedup':>8} {'ovl_eff':>8}")
+    base = None
+    for P in args.parts:
+        _, t_bulk, t_over, eff = model_partitioning(
+            mesh, P, args.ns_per_face, args.ici_gbps)
+        if base is None:
+            base = t_over
+        print(f"{P:>4} {mesh.nface / t_bulk / 1e9:>10.2f} "
+              f"{mesh.nface / t_over / 1e9:>13.2f} "
+              f"{base / t_over:>8.2f} {eff:>8.1%}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -36,3 +36,12 @@ def test_golden_dump_check_roundtrip(tmp_path):
                         "--schedule", "overlap"]) == 0
     # perturbed config must FAIL
     assert golden_main(["check", "--nx", "8", "--ref", ref, "--seed", "1"]) == 1
+
+
+def test_scaling_model_runs(capsys):
+    from cfd_proxy_tpu.tools.scaling_model import main as sm_main
+
+    assert sm_main(["--nx", "10", "--parts", "1", "2", "4"]) == 0
+    out = capsys.readouterr().out
+    assert "MODEL (not measurement)" in out
+    assert out.strip().splitlines()[-1].split()[0] == "4"
