@@ -110,6 +110,12 @@ def build_tlayout(
             locmap[d][recv[pos]] = owned_pad + k * s_max + pos
     while len(perms) < nphases:
         perms.append(())
+    # phases beyond the real schedule (e.g. the padded phase of a comm-free
+    # mesh) still need a full self-permutation: the completion inside the
+    # loop above only covers real phases
+    ids = np.tile(np.arange(P, dtype=np.int32)[:, None], (1, nphases))
+    dsts[dsts < 0] = ids[dsts < 0]
+    srcs[srcs < 0] = ids[srcs < 0]
 
     for d, p in enumerate(parts):
         check(int(locmap[d].min(initial=0)) >= 0,

@@ -69,7 +69,8 @@ def build_model(cfg: SolverConfig):
                 f"mesh partition file not found: {e.filename} — expected "
                 f"<prefix>.<parts>p.<i>.nc; generate with "
                 f"`python -m cfd_proxy_tpu.tools.partition --parts {cfg.parts} "
-                f"--out {cfg.mesh_prefix}`"
+                f"--out {cfg.mesh_prefix}` (plus your --nx/--ny/--nz/"
+                f"--ghost-layers/--seed — the tool's defaults are a 24^3 mesh)"
             )
         gmesh = None
     else:

@@ -33,19 +33,29 @@ from cfd_proxy_tpu.mesh.generator import generate_mesh
 from cfd_proxy_tpu.mesh.partition import partition_mesh, send_point_set
 
 
-def model_partitioning(mesh, P, ns_per_face, ici_gbps, rows=24):
-    parts = partition_mesh(mesh, P) if P > 1 else partition_mesh(mesh, 1)
+def model_partitioning(mesh, P, ns_per_face, ici_gbps, rows):
+    """Per-shard times from the REAL phase schedule: wire volume is the
+    PADDED per-phase buffer (nphases × s_max × rows × 4B for every phase a
+    device actually sends to a peer), matching parallel/tlayout.py — the
+    unpadded sendidx sum would be optimistic on imbalanced partitions."""
+    from cfd_proxy_tpu.parallel.tlayout import build_tlayout
+    from cfd_proxy_tpu.parallel.topology import build_halo_topology
+
+    parts = partition_mesh(mesh, P)
+    nface_total = sum(p.nface for p in parts)   # solver.run's denominator
+    topo = build_halo_topology(parts, max(p.npoint for p in parts) + 1)
+    lay = build_tlayout(parts, topo)
     t_bulk = t_over = 0.0
     eff_num = eff_den = 0.0
-    for p in parts:
+    for d, p in enumerate(parts):
         sp = send_point_set(p)
         is_send = np.zeros(p.npoint, bool)
         is_send[sp] = True
         bsel = is_send[p.faces[:, 0]] | is_send[p.faces[:, 1]]
         nfb = int(bsel.sum())
         nfi = p.nface - nfb
-        send_vals = sum(e.sendidx.size for e in p.comm)
-        comm_bytes = send_vals * rows * 4
+        nsend_phases = int((lay.dsts[d] != d).sum())
+        comm_bytes = nsend_phases * lay.s_max * rows * 4
         ts_all = p.nface * ns_per_face * 1e-9
         ts_b = nfb * ns_per_face * 1e-9
         ts_i = nfi * ns_per_face * 1e-9
@@ -54,7 +64,8 @@ def model_partitioning(mesh, P, ns_per_face, ici_gbps, rows=24):
         t_over = max(t_over, ts_b + max(ts_i, tc))
         eff_num += min(ts_i, tc)
         eff_den += tc
-    return parts, t_bulk, t_over, (eff_num / eff_den if eff_den else 1.0)
+    eff = eff_num / eff_den if eff_den else None
+    return nface_total, t_bulk, t_over, eff
 
 
 def main(argv=None) -> int:
@@ -67,25 +78,29 @@ def main(argv=None) -> int:
                     help="measured single-chip sweep rate (BASELINE.md)")
     ap.add_argument("--ici-gbps", type=float, default=45.0,
                     help="modeled per-link ICI bandwidth, GB/s")
+    ap.add_argument("--rows", type=int, default=24,
+                    help="exchanged rows per point (24 = gg grads; 8 = flux)")
     ap.add_argument("--diag-frac", type=float, default=0.2)
     args = ap.parse_args(argv)
 
     mesh = generate_mesh(args.nx, args.ny or args.nx, args.nz or args.nx,
                          jitter=0.05, diag_frac=args.diag_frac, seed=0)
-    print(f"# MODEL (not measurement): {mesh.nface} faces, "
+    print(f"# MODEL (not measurement): {mesh.nface} global faces, "
           f"{args.ns_per_face} ns/face sweep (measured), "
-          f"{args.ici_gbps} GB/s ICI (assumed)")
+          f"{args.ici_gbps} GB/s ICI (assumed), rows={args.rows}; "
+          f"faces/sec uses sum-of-shard faces (solver.run's metric)")
     print(f"{'P':>4} {'bulk Gf/s':>10} {'overlap Gf/s':>13} "
           f"{'speedup':>8} {'ovl_eff':>8}")
     base = None
     for P in args.parts:
-        _, t_bulk, t_over, eff = model_partitioning(
-            mesh, P, args.ns_per_face, args.ici_gbps)
+        nface_total, t_bulk, t_over, eff = model_partitioning(
+            mesh, P, args.ns_per_face, args.ici_gbps, args.rows)
         if base is None:
             base = t_over
-        print(f"{P:>4} {mesh.nface / t_bulk / 1e9:>10.2f} "
-              f"{mesh.nface / t_over / 1e9:>13.2f} "
-              f"{base / t_over:>8.2f} {eff:>8.1%}")
+        eff_s = f"{eff:>8.1%}" if eff is not None else f"{'-':>8}"
+        print(f"{P:>4} {nface_total / t_bulk / 1e9:>10.2f} "
+              f"{nface_total / t_over / 1e9:>13.2f} "
+              f"{base / t_over:>8.2f} {eff_s}")
     return 0
 
 
