@@ -80,3 +80,31 @@ def test_cdf2_roundtrip_and_scipy_interop(tmp_path):
         np.testing.assert_array_equal(
             f.variables["faces"][:], np.arange(14, dtype=np.int32).reshape(7, 2)
         )
+
+
+def test_truncated_file_rejected(tmp_path):
+    p = str(tmp_path / "t.nc")
+    netcdf3.write(p, _sample_ds())
+    raw = open(p, "rb").read()
+    bad = str(tmp_path / "bad.nc")
+    open(bad, "wb").write(raw[: len(raw) // 3])
+    with pytest.raises(Exception):
+        netcdf3.read(bad)
+
+
+def test_garbage_header_rejected(tmp_path):
+    bad = str(tmp_path / "g.nc")
+    open(bad, "wb").write(b"CDF\x01" + b"\xff" * 64)
+    with pytest.raises(Exception):
+        netcdf3.read(bad)
+
+
+def test_partition_file_with_wrong_schema_version(tmp_path):
+    from cfd_proxy_tpu.mesh.reader import read_partition
+
+    p = str(tmp_path / "w.nc")
+    ds = _sample_ds()
+    ds.attrs["schema_version"] = 999
+    netcdf3.write(p, ds)
+    with pytest.raises(Exception):
+        read_partition(p)
