@@ -108,3 +108,36 @@ def test_partition_file_with_wrong_schema_version(tmp_path):
     netcdf3.write(p, ds)
     with pytest.raises(Exception):
         read_partition(p)
+
+
+def test_partition_written_by_scipy_reads_back(tmp_path):
+    """Schema interop: a partition file produced by a FOREIGN netCDF writer
+    (scipy) must read through our reader — the on-disk format is the spec."""
+    from scipy.io import netcdf_file
+
+    from cfd_proxy_tpu.mesh.generator import generate_mesh
+    from cfd_proxy_tpu.mesh.partition import partition_mesh
+    from cfd_proxy_tpu.mesh.reader import read_partition, write_partition
+
+    mesh = generate_mesh(5, 4, 4, seed=9)
+    (part,) = partition_mesh(mesh, 1)
+    ours = str(tmp_path / "ours.nc")
+    write_partition(ours, part)
+
+    # rewrite the same content through scipy
+    theirs = str(tmp_path / "scipy.nc")
+    src = netcdf3.read(ours)
+    with netcdf_file(theirs, "w") as f:
+        for k, v in src.attrs.items():
+            setattr(f, k, v)
+        for name, size in src.dims.items():
+            f.createDimension(name, size)
+        for name, (dims, arr) in src.variables.items():
+            v = f.createVariable(name, arr.dtype.str.replace("=", "<"), dims)
+            v[:] = arr
+
+    p2 = read_partition(theirs)
+    np.testing.assert_array_equal(p2.faces, part.faces)
+    np.testing.assert_array_equal(p2.global_ids, part.global_ids)
+    np.testing.assert_allclose(p2.normals, part.normals)
+    assert p2.nowned == part.nowned
