@@ -1,0 +1,38 @@
+"""Solver CLI surface: happy path, JSON output, error paths."""
+
+import json
+
+import pytest
+
+from cfd_proxy_tpu.solver import main
+
+
+def test_cli_json_all_schedules(capsys):
+    rc = main(["--nx", "9", "--ny", "8", "--nz", "7", "--parts", "2",
+               "--iters", "3", "--schedule", "all", "--json"])
+    assert rc == 0
+    d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sorted(d["schedules"]) == ["bulk", "early", "overlap"]
+    assert d["npart"] == 2 and d["backend"] == "pallas"
+    assert d["verification"]["bulk_vs_golden_relmax"] < 1e-5
+    assert d["verification"]["early_vs_bulk_maxabs"] < 1e-5
+
+
+def test_cli_table_output(capsys):
+    rc = main(["--nx", "8", "--parts", "1", "--iters", "2",
+               "--schedule", "bulk", "--no-verify"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "variant" in out and "Mfaces/s" in out
+
+
+def test_cli_missing_mesh_files():
+    with pytest.raises(SystemExit) as e:
+        main(["--mesh", "/nonexistent/prefix", "--parts", "2"])
+    assert "tools.partition" in str(e.value)
+
+
+def test_cli_flux_requires_pallas():
+    with pytest.raises(SystemExit) as e:
+        main(["--model", "flux", "--backend", "xla", "--nx", "8"])
+    assert "pallas" in str(e.value)
