@@ -10,9 +10,6 @@ one timed iteration {gradient sweep + gradient halo exchange} (SURVEY.md
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -21,8 +18,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from cfd_proxy_tpu.mesh.model import MeshPartition
 from cfd_proxy_tpu.mesh.partition import send_point_set
 from cfd_proxy_tpu.ops.prep import SweepPads, build_sweep_plan
-from cfd_proxy_tpu.ops.sweep_jax import DeviceSweep, device_sweep, set_volume
-from cfd_proxy_tpu.parallel.halo import DeviceHalo, device_halo, exchange
+from cfd_proxy_tpu.ops.sweep_jax import device_sweep, set_volume
+from cfd_proxy_tpu.parallel.halo import device_halo, exchange
 from cfd_proxy_tpu.parallel.schedules import STEP_FNS
 from cfd_proxy_tpu.parallel.topology import build_halo_topology
 from cfd_proxy_tpu.utils.errors import check

@@ -16,7 +16,6 @@ in SURVEY.md §7 hard part 2).
 from __future__ import annotations
 
 import argparse
-import sys
 
 import numpy as np
 
