@@ -112,12 +112,16 @@ class GreenGaussModel:
 
     def exchange_var(self, var: jax.Array) -> jax.Array:
         """Fill ghost rows of a stacked state array from their owners."""
+        if "var_exchange" not in self._step_cache:
 
-        def body(v, halo):
-            return exchange(v[0], jax.tree_util.tree_map(lambda a: a[0], halo), AXIS)[None]
+            def body(v, halo):
+                return exchange(
+                    v[0], jax.tree_util.tree_map(lambda a: a[0], halo), AXIS)[None]
 
-        fn = _shard_map(body, self.mesh, in_specs=(P(AXIS), P(AXIS)), out_specs=P(AXIS))
-        return jax.jit(fn)(var, self.halo)
+            fn = _shard_map(body, self.mesh, in_specs=(P(AXIS), P(AXIS)),
+                            out_specs=P(AXIS))
+            self._step_cache["var_exchange"] = jax.jit(fn)
+        return self._step_cache["var_exchange"](var, self.halo)
 
     # ---------------------------------------------------------------- step
 

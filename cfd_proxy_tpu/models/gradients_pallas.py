@@ -120,6 +120,12 @@ class GreenGaussPallas:
         check(op in ("gg", "flux"), "unknown kernel op %r", op)
         self.op = op
         check(nvar <= NV, "nvar %d > padded NV %d", nvar, NV)
+        # the flux kernel reads var[:3] as the velocity vector; with fewer
+        # vars the padded zero rows would silently stand in for velocity
+        # components while the golden compute_psd_flux raises — keep the
+        # model and its reference anchor in agreement
+        check(op != "flux" or nvar >= 3,
+              "flux model needs nvar >= 3 (velocity components), got %d", nvar)
         self.nvar = int(nvar)
         self.bp = bp
         self.interpret = interpret

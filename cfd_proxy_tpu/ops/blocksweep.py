@@ -495,15 +495,15 @@ def sweep_blocks_overlap(
                      memory_space=pltpu.VMEM),                       # slot_w
         pl.BlockSpec((1, 1, bp), lambda i, b, d, s: (i, 0, 0),
                      memory_space=pltpu.VMEM),                       # scale
-        pl.BlockSpec(memory_space=pltpu.ANY),                        # sendbufs
+        pl.BlockSpec(memory_space=pl.ANY),                           # sendbufs
         pl.BlockSpec((rows, bp), lambda i, b, d, s: (0, bid(i, b, d, s)),
                      memory_space=pltpu.VMEM),                       # init
-        pl.BlockSpec(memory_space=pltpu.ANY),                        # recv init
+        pl.BlockSpec(memory_space=pl.ANY),                           # recv init
     ]
     out_specs = (
         pl.BlockSpec((rows, bp), lambda i, b, d, s: (0, bid(i, b, d, s)),
                      memory_space=pltpu.VMEM),                       # grad
-        pl.BlockSpec(memory_space=pltpu.ANY),                        # recvbufs
+        pl.BlockSpec(memory_space=pl.ANY),                           # recvbufs
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,

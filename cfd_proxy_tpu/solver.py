@@ -272,6 +272,19 @@ def verify_model(model, var, schedules, gmesh, gvar) -> dict:
     return out
 
 
+def _finite_or_none(obj):
+    """NaN/inf → None recursively: time_schedule reports NaN when every repeat
+    sat below the dispatch-noise floor, and bare NaN is not valid strict JSON
+    for downstream consumers of --json / bench.py output."""
+    if isinstance(obj, dict):
+        return {k: _finite_or_none(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_finite_or_none(v) for v in obj]
+    if isinstance(obj, float) and not np.isfinite(obj):
+        return None
+    return obj
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="cfd_proxy_tpu.solver",
@@ -312,7 +325,7 @@ def main(argv=None) -> int:
     )
     results, stats = run(cfg)
     if cfg.json_out:
-        print(json.dumps(results))
+        print(json.dumps(_finite_or_none(results)))
     else:
         print(f"device={results['device']} parts={results['npart']} "
               f"points={results['npoint']} faces={results['nface']} "
