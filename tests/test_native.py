@@ -10,7 +10,7 @@ import numpy as np
 import pytest
 
 import cfd_proxy_tpu.ops.blocksweep as bs
-from cfd_proxy_tpu.mesh.generator import generate_mesh
+from cfd_proxy_tpu.mesh.generator import generate_mesh, make_state
 from cfd_proxy_tpu.native import lib
 
 
@@ -49,3 +49,22 @@ def test_native_matches_numpy(setup, subset, all_blocks):
     np.testing.assert_array_equal(pn.slot_w, pp.slot_w)
     np.testing.assert_array_equal(pn.ext_idx, pp.ext_idx)
     np.testing.assert_array_equal(pn.scale, pp.scale)
+
+
+def test_c_golden_bit_matches_numpy_golden():
+    """native/golden.cc nthreads==1 is bit-identical to ops/golden.py — the
+    honest CPU-baseline denominator (BASELINE.md; -ffp-contract=off)."""
+    from cfd_proxy_tpu.native import golden_gg_c
+    from cfd_proxy_tpu.ops.golden import compute_gradients_gg
+
+    m = generate_mesh(9, 8, 7, jitter=0.05, diag_frac=0.25, shuffle=True,
+                      seed=3)
+    var = make_state(m.npoint, 7, seed=5).astype(np.float64)
+    got = golden_gg_c(var, m.faces, m.normals, nthreads=1)
+    if got is None:
+        pytest.skip("native library unavailable")
+    ref = compute_gradients_gg(var, m.faces, m.normals)
+    np.testing.assert_array_equal(got, ref)
+    # threaded mode: perf denominator only — f64-roundoff-level agreement
+    got4 = golden_gg_c(var, m.faces, m.normals, nthreads=4)
+    np.testing.assert_allclose(got4, ref, rtol=1e-12, atol=1e-12)

@@ -32,10 +32,12 @@ def gref(mesh, gvar):
     return scale_gradients(g, mesh.volume, mesh.npoint).reshape(mesh.npoint, -1)
 
 
+@pytest.mark.parametrize("kernel", ["packed", "gather"])
 @pytest.mark.parametrize("npart,ghost_layers", [(1, 1), (4, 1), (4, 2), (8, 1)])
-def test_pallas_schedules_match_golden(mesh, gvar, gref, npart, ghost_layers):
+def test_pallas_schedules_match_golden(mesh, gvar, gref, npart, ghost_layers,
+                                       kernel):
     parts = partition_mesh(mesh, npart, ghost_layers=ghost_layers)
-    model = GreenGaussPallas(parts, NVAR, bp=128, interpret=True)
+    model = GreenGaussPallas(parts, NVAR, bp=128, interpret=True, kernel=kernel)
     state = model.distribute_state(gvar)
     outs = {}
     for s in ("bulk", "early", "overlap", "nocomm"):
@@ -55,6 +57,36 @@ def test_pallas_schedules_match_golden(mesh, gvar, gref, npart, ghost_layers):
     assert np.abs(outs["overlap"] - outs["early"]).max() / scale_ref < 1e-6
     # ghost regions: filled by exchange in bulk, zero-scaled before
     assert np.isfinite(outs["bulk"]).all()
+
+
+def test_force_rdma_self_send_p1(mesh, gvar):
+    """P=1 fused-RDMA overlap (self-send phase) == the degraded early graph
+    bitwise on owned columns — the mode used for the single-chip hardware
+    smoke of the GASPI-analogue mechanism."""
+    parts = partition_mesh(mesh, 1)
+    forced = GreenGaussPallas(parts, NVAR, bp=128, interpret=True,
+                              force_rdma=True)
+    plain = GreenGaussPallas(parts, NVAR, bp=128, interpret=True)
+    assert forced._has_comm and not plain._has_comm
+    ga = np.asarray(forced.step(forced.distribute_state(gvar), "overlap"))
+    gb = np.asarray(plain.step(plain.distribute_state(gvar), "overlap"))
+    n = forced.layout.owned_pad
+    np.testing.assert_array_equal(ga[:, :, :n], gb[:, :, :n])
+
+
+def test_packed_matches_gather_kernel(mesh, gvar):
+    """The two sweep formulations (pre-gathered sources vs in-kernel gathers)
+    agree to FMA-contraction noise — the cross-check of kernel strategies
+    (SURVEY.md §7 Stage 2 design space)."""
+    parts = partition_mesh(mesh, 4)
+    outs = {}
+    for kern in ("packed", "gather"):
+        model = GreenGaussPallas(parts, NVAR, bp=128, interpret=True,
+                                 kernel=kern)
+        state = model.distribute_state(gvar)
+        outs[kern] = np.asarray(model.step(state, "bulk"))
+    scale = max(1.0, np.abs(outs["packed"]).max())
+    assert np.abs(outs["packed"] - outs["gather"]).max() / scale < 1e-6
 
 
 def test_pallas_ghosts_match_owner(mesh, gvar):
