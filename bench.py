@@ -10,8 +10,9 @@ vs_baseline is measured against this machine's CPU golden path (NumPy
 denominator until real 2-socket node numbers exist (BASELINE.md).
 
 Env knobs: BENCH_NX (grid edge, default 96 on TPU / 16 on CPU),
-BENCH_ITERS (default 100), BENCH_SCHEDULE (default bulk),
-BENCH_BACKEND (default pallas), BENCH_KERNEL (default packed).
+BENCH_ITERS (default 300), BENCH_SCHEDULE (default bulk),
+BENCH_BACKEND (default pallas), BENCH_KERNEL (default packed),
+BENCH_BP (default 1024).
 """
 
 import json
@@ -70,12 +71,13 @@ def main() -> int:
     platform = jax.default_backend()
     on_tpu = platform == "tpu"
     nx = int(os.environ.get("BENCH_NX", "96" if on_tpu else "16"))
-    iters = int(os.environ.get("BENCH_ITERS", "100"))
+    iters = int(os.environ.get("BENCH_ITERS", "300"))
     schedule = os.environ.get("BENCH_SCHEDULE", "bulk")
     backend = os.environ.get("BENCH_BACKEND", "pallas")
     kernel = os.environ.get("BENCH_KERNEL", "packed")
+    bp = int(os.environ.get("BENCH_BP", "1024"))
     log(f"platform={platform} devices={jax.devices()} nx={nx} iters={iters} "
-        f"backend={backend} kernel={kernel}")
+        f"backend={backend} kernel={kernel} bp={bp}")
 
     cpu = measure_cpu_golden(16 if not on_tpu else 32)
     cpu_fps = cpu["numpy_fps"]
@@ -84,14 +86,18 @@ def main() -> int:
 
     cfg = SolverConfig(
         nx=nx, ny=nx, nz=nx, parts=1, nvar=7, iters=iters, warmup=3,
-        schedule=schedule, backend=backend, kernel=kernel, dtype="float32",
-        verify=False,
+        schedule=schedule, backend=backend, kernel=kernel, bp=bp,
+        dtype="float32", verify=False,
+        # schedule=all exercises the flagship overlap path too: at P=1 the
+        # fused RDMA kernel still runs (self-send phase) when forced
+        force_rdma=(schedule == "all"),
     )
     t0 = time.perf_counter()
     results, _stats = run(cfg)
     log(f"run wall {time.perf_counter() - t0:.1f}s")
 
-    entry = results["schedules"][schedule]
+    head = "bulk" if schedule == "all" else schedule
+    entry = results["schedules"][head]
     fps = entry["faces_per_sec"]
     out = {
         "metric": "faces_per_sec_per_chip",
@@ -102,10 +108,18 @@ def main() -> int:
         "backend": backend,
         "kernel": kernel,
         "nface": results["nface"],
-        "schedule": schedule,
+        "schedule": head,
         "median_ms": entry["median_s"] * 1e3,
         "cpu_golden_faces_per_sec": float(cpu_fps),
     }
+    if schedule == "all":
+        out["schedules"] = {
+            s: {"faces_per_sec": e["faces_per_sec"],
+                "median_ms": e["median_s"] * 1e3,
+                **({"overlap_efficiency": e["overlap_efficiency"]}
+                   if "overlap_efficiency" in e else {})}
+            for s, e in results["schedules"].items()
+        }
     if "c1_fps" in cpu:
         # honest denominators: the C loop is the reference's language;
         # NumPy overstates vs_baseline by the np.add.at penalty (~24x here)

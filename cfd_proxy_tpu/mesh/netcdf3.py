@@ -209,11 +209,11 @@ def write(path: str, ds: Dataset, *, version: int | None = None) -> None:
 # ---------------------------------------------------------------- reading
 
 class _Cursor:
-    def __init__(self, buf: bytes):
-        self.buf = buf
+    def __init__(self, buf):
+        self.buf = buf          # bytes or memoryview (mmap-backed)
         self.pos = 0
 
-    def take(self, n: int) -> bytes:
+    def take(self, n: int):
         b = self.buf[self.pos : self.pos + n]
         check(len(b) == n, "netcdf3 reader: truncated file")
         self.pos += n
@@ -228,7 +228,7 @@ class _Cursor:
     def name(self) -> str:
         n = self.i4()
         raw = self.take(_pad4(n))
-        return raw[:n].decode()
+        return bytes(raw[:n]).decode()
 
 
 def _read_attr_list(c: _Cursor) -> dict[str, object]:
@@ -243,7 +243,7 @@ def _read_attr_list(c: _Cursor) -> dict[str, object]:
         nbytes = nelems * _TYPE_SIZE[t]
         raw = c.take(_pad4(nbytes))[:nbytes]
         if t == NC_CHAR:
-            attrs[nm] = raw.decode()
+            attrs[nm] = bytes(raw).decode()
         else:
             vals = np.frombuffer(raw, dtype=_TYPE_TO_DTYPE[t])
             attrs[nm] = vals[0].item() if vals.size == 1 else vals.copy()
@@ -254,9 +254,20 @@ def read(path: str) -> Dataset:
     """Read a classic netCDF file (written by this module or any netCDF tool).
 
     Restrictions match the writer: no record variables.
+
+    The file is memory-mapped, not slurped: the header is parsed from mapped
+    pages and each variable's data region is touched only when converted —
+    CDF-2-scale (multi-GiB) partition files never need file-size RAM beyond
+    the variables actually materialised.
     """
+    import mmap
+
     with open(path, "rb") as f:
-        buf = f.read()
+        try:
+            mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+            buf = memoryview(mm)
+        except (ValueError, OSError):   # empty/special file — tiny anyway
+            buf = f.read()
     c = _Cursor(buf)
     magic = c.take(3)
     check(magic == b"CDF", "not a netCDF classic file: %s", path)
@@ -291,8 +302,11 @@ def read(path: str) -> Dataset:
             shape = tuple(dims[d][1] for d in dimids)
             count = int(np.prod(shape)) if shape else 1
             raw = buf[begin : begin + count * _TYPE_SIZE[t]]
+            check(len(raw) == count * _TYPE_SIZE[t],
+                  "netcdf3 reader: truncated data for variable %s", nm)
             arr = np.frombuffer(raw, dtype=_TYPE_TO_DTYPE[t]).reshape(shape)
-            # native byte order copies for downstream use
+            # native byte order copies for downstream use (this is the only
+            # point the variable's mapped pages are touched)
             native = arr.astype(arr.dtype.newbyteorder("="))
             ds.variables[nm] = (dnames, native)
     return ds

@@ -31,9 +31,17 @@ def rcb_assign(coords: np.ndarray, npart: int, *, _ids=None) -> np.ndarray:
     """Recursive coordinate bisection: returns owner partition per point.
 
     Splits along the widest axis at the weighted fraction, so any npart works
-    (not just powers of two) with balanced part sizes (±1 point).
+    (not just powers of two) with balanced part sizes (±1 point).  Runs in
+    native C++ when available (same membership for tie-free coordinates;
+    both paths break coordinate ties deterministically, by different rules).
     """
     N = coords.shape[0]
+    if _ids is None:
+        from cfd_proxy_tpu.native import rcb_assign_c
+
+        native = rcb_assign_c(coords, npart)
+        if native is not None:
+            return native
     owner = np.zeros(N, dtype=np.int32)
     ids = np.arange(N) if _ids is None else _ids
 
@@ -46,12 +54,57 @@ def rcb_assign(coords: np.ndarray, npart: int, *, _ids=None) -> np.ndarray:
         c = coords[idx]
         axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
         k = (idx.size * n1) // nparts
-        ord_ = np.argsort(c[:, axis], kind="stable")
+        vals = c[:, axis]
+        if 0 < k < idx.size:
+            # O(N) selection: same left/right membership as a stable sort
+            # whenever the cut value is unique; ties (e.g. jitter=0 grids)
+            # fall back to the stable sort so membership stays the historic
+            # deterministic one (committed fixtures depend on it)
+            ord_ = np.argpartition(vals, k)
+            if vals[ord_[k - 1]] == vals[ord_[k]]:
+                ord_ = np.argsort(vals, kind="stable")
+        else:
+            ord_ = np.argsort(vals, kind="stable")
         rec(idx[ord_[:k]], lo, lo + n1)
         rec(idx[ord_[k:]], lo + n1, hi)
 
     rec(ids, 0, npart)
     return owner
+
+
+def _ghost_closure_numpy(faces, owner, npart, K):
+    """Sparse per-partition ghost closure — NumPy fallback path.
+
+    Returns (ghost_gid, ghost_depth, goff, face_ids, foff), the same sparse
+    protocol as the native fast path (native/partition.cc): per partition
+    the ghost (gid, depth) pairs and the kept-face ids ascending, with
+    prefix offsets.  O(npart·K·F) — the native path replaces exactly this.
+    """
+    N = owner.shape[0]
+    fa, fb = faces[:, 0], faces[:, 1]
+    gg, gd, fi = [], [], []
+    goff = np.zeros(npart + 1, np.int64)
+    foff = np.zeros(npart + 1, np.int64)
+    for p in range(npart):
+        depth = np.full(N, -1, dtype=np.int8)
+        depth[owner == p] = 0
+        for d in range(1, K + 1):
+            frontier = depth == d - 1
+            mark = np.zeros(N, dtype=bool)
+            mark[fb[frontier[fa]]] = True
+            mark[fa[frontier[fb]]] = True
+            depth[mark & (depth == -1)] = d
+        g = np.flatnonzero(depth > 0)
+        gg.append(g.astype(np.int32))
+        gd.append(depth[g])
+        keep = (depth[fa] >= 0) & (depth[fa] < K)
+        keep |= (depth[fb] >= 0) & (depth[fb] < K)
+        fi.append(np.flatnonzero(keep).astype(np.int32))
+        goff[p + 1] = goff[p] + g.size
+        foff[p + 1] = foff[p] + fi[-1].size
+    cat = lambda xs, dt: (np.concatenate(xs).astype(dt) if xs
+                          else np.zeros(0, dt))
+    return cat(gg, np.int32), cat(gd, np.int8), goff, cat(fi, np.int32), foff
 
 
 def partition_mesh(
@@ -61,7 +114,11 @@ def partition_mesh(
     ghost_layers: int = 1,
     owner: np.ndarray | None = None,
 ) -> list[MeshPartition]:
-    """Partition a GlobalMesh into npart MeshPartitions with K-deep ghosts."""
+    """Partition a GlobalMesh into npart MeshPartitions with K-deep ghosts.
+
+    The ghost closure runs in native C++ when available (native/partition.cc
+    — CSR + stamped BFS, O(halo) per partition instead of O(K·F)); the NumPy
+    fallback is semantics-identical and parity-tested."""
     check(npart >= 1, "npart must be >= 1")
     check(ghost_layers >= 1, "ghost_layers must be >= 1")
     N = mesh.npoint
@@ -70,43 +127,46 @@ def partition_mesh(
     if owner is None:
         owner = rcb_assign(mesh.coords, npart)
     check(owner.shape == (N,), "owner shape")
+    owner = np.ascontiguousarray(owner, np.int32)
 
-    # pass 1: per-partition local numbering
-    depth_of: list[np.ndarray] = []      # (N,) int8, -1 = not present
-    l2g_of: list[np.ndarray] = []
-    owned_gids_of: list[np.ndarray] = []
-    for p in range(npart):
-        depth = np.full(N, -1, dtype=np.int8)
-        depth[owner == p] = 0
-        for d in range(1, ghost_layers + 1):
-            frontier = depth == d - 1
-            mark = np.zeros(N, dtype=bool)
-            mark[fb[frontier[fa]]] = True
-            mark[fa[frontier[fb]]] = True
-            depth[mark & (depth == -1)] = d
-        owned_gids = np.flatnonzero(owner == p)
-        ghost_parts = []
-        for d in range(1, ghost_layers + 1):
-            g = np.flatnonzero(depth == d)
-            g = g[np.lexsort((g, owner[g]))]
-            ghost_parts.append(g)
-        l2g = np.concatenate([owned_gids] + ghost_parts)
-        depth_of.append(depth)
-        l2g_of.append(l2g)
-        owned_gids_of.append(owned_gids)
+    from cfd_proxy_tpu.native import ghost_closure_c
 
-    # pass 2: build partitions + comm entries
+    sparse = ghost_closure_c(faces, owner, npart, ghost_layers)
+    if sparse is None:
+        sparse = _ghost_closure_numpy(faces, owner, npart, ghost_layers)
+    ghost_gid, ghost_depth, goff, face_ids, foff = sparse
+
+    # owned point lists: one stable sort instead of npart full scans
+    order = np.argsort(owner, kind="stable")
+    bounds = np.searchsorted(owner[order], np.arange(npart + 1))
+    owned_gids_of = [np.sort(order[bounds[p] : bounds[p + 1]])
+                     for p in range(npart)]
+
+    # send map: (src_owner p, dst q, depth d) -> gids sorted — read straight
+    # off each q's ghost list (those ARE p's send points), no global scans
+    send_map: dict[tuple[int, int, int], np.ndarray] = {}
+    for q in range(npart):
+        g = ghost_gid[goff[q] : goff[q + 1]]
+        d = ghost_depth[goff[q] : goff[q + 1]]
+        ow = owner[g]
+        for key in np.unique(ow * (ghost_layers + 1) + d):
+            p, dd = int(key) // (ghost_layers + 1), int(key) % (ghost_layers + 1)
+            send_map[(p, q, dd)] = np.sort(g[(ow == p) & (d == dd)])
+
     parts: list[MeshPartition] = []
-    for p in range(npart):
-        depth = depth_of[p]
-        l2g = l2g_of[p]
-        nowned = owned_gids_of[p].size
-        g2l = np.full(N, -1, dtype=np.int64)
+    g2l = np.full(N, -1, dtype=np.int64)   # reused across partitions: full-N
+    for p in range(npart):                 # memsets were the profile hotspot
+        owned_gids = owned_gids_of[p]
+        nowned = owned_gids.size
+        g = ghost_gid[goff[p] : goff[p + 1]].astype(np.int64)
+        gdep = ghost_depth[goff[p] : goff[p + 1]]
+        # ghosts ordered by (depth, owner, gid) — the layout contract
+        ord_ = np.lexsort((g, owner[g], gdep))
+        g, gdep = g[ord_], gdep[ord_]
+        l2g = np.concatenate([owned_gids, g])
         g2l[l2g] = np.arange(l2g.size)
 
-        keep = (depth[fa] >= 0) & (depth[fa] < ghost_layers)
-        keep |= (depth[fb] >= 0) & (depth[fb] < ghost_layers)
-        fsel = np.flatnonzero(keep)
+        fsel = face_ids[foff[p] : foff[p + 1]]
         pf = np.stack([g2l[fa[fsel]], g2l[fb[fsel]]], axis=1)
         check(int(pf.min(initial=0)) >= 0, "face endpoint outside ghost closure")
         pn = mesh.normals[fsel].copy()
@@ -116,17 +176,16 @@ def partition_mesh(
 
         comm: list[CommEntry] = []
         for d in range(1, ghost_layers + 1):
-            ghost_gids = l2g[(depth[l2g] == d)]
+            sel_d = gdep == d
+            g_d, own_d = g[sel_d], owner[g[sel_d]]
             for q in range(npart):
                 if q == p:
                     continue
-                recv_g = ghost_gids[owner[ghost_gids] == q]
-                recv_g = np.sort(recv_g)
-                # points owned by p that are depth-d ghosts at q
-                send_g = np.flatnonzero((owner == p) & (depth_of[q] == d))
+                recv_g = np.sort(g_d[own_d == q])
+                send_g = send_map.get((p, q, d), np.zeros(0, np.int64))
                 if recv_g.size == 0 and send_g.size == 0:
                     continue
-                sendidx = np.searchsorted(owned_gids_of[p], send_g)
+                sendidx = np.searchsorted(owned_gids, send_g)
                 recvidx = g2l[recv_g]
                 comm.append(CommEntry(
                     partner=q,
@@ -148,6 +207,7 @@ def partition_mesh(
         )
         part.validate()
         parts.append(part)
+        g2l[l2g] = -1          # sparse reset — only touched entries
     return parts
 
 

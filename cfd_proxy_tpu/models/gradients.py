@@ -51,6 +51,7 @@ class GreenGaussModel:
         *,
         dtype=jnp.float32,
         devices: list | None = None,
+        slice_size: int | None = None,
     ):
         check(len(parts) >= 1, "need at least one partition")
         self.parts = parts
@@ -82,7 +83,10 @@ class GreenGaussModel:
             ds = device_sweep(plan, dtype=dtype)
             ds = set_volume(ds, p.volume, p.nowned)
             dsweeps.append(ds)
-        topo = build_halo_topology(parts, self.npoint_pad)
+        # slice_size: multi-slice deployments — intra-slice (ICI) phases are
+        # scheduled before inter-slice (DCN) phases (parallel/topology.py)
+        topo = build_halo_topology(parts, self.npoint_pad,
+                                   slice_size=slice_size)
         self.topology = topo
         halos = [device_halo(topo, i) for i in range(P_)]
 

@@ -4,8 +4,9 @@ halo pipeline.
 Same capabilities as models/gradients.py::GreenGaussModel (all three exchange
 schedules, multi-round ghosts, P shards under shard_map) but built on:
 
-- the block-local Pallas sweep (ops/blocksweep.py) — no scatters, no large
-  gathers, volume scaling fused;
+- the block-local Pallas sweeps (ops/blocksweep.py): the PACKED streaming
+  kernel (production) or the in-kernel GATHER formulation (cross-check) —
+  no scatters, volume scaling fused;
 - the transposed device layout (parallel/tlayout.py) — pack is a fast column
   gather, unpack a static-offset contiguous store per ppermute phase;
 - RCB locality relabeling of owned points (mesh/partition.py) so VMEM blocks
@@ -15,8 +16,10 @@ Schedule composition (per shard):
     bulk   : bulk kernel → pack+ppermute → unpack
     early  : boundary kernel (compact block list) → pack+ppermute fired →
              interior kernel (independent of the collectives) → unpack
-    overlap: same dataflow (XLA async overlap); in-kernel RDMA variant is the
-             planned upgrade (SURVEY.md §5.8 full-overlap).
+    overlap: FUSED interior sweep + in-kernel one-sided RDMA push
+             (make_async_remote_copy — the gaspi_write_notify analogue,
+             SURVEY.md §5.8 full-overlap; hardware-verified at P=1 via
+             force_rdma self-send phases).
 The boundary kernel finishes exactly the send-point gradients first — the
 reference's finish-counter guarantee (SURVEY.md §4.3) realised structurally.
 """
@@ -110,12 +113,13 @@ class GreenGaussPallas:
         parts: list[MeshPartition],
         nvar: int,
         *,
-        bp: int = 256,
+        bp: int = 1024,
         devices: list | None = None,
         interpret: bool | None = None,
         op: str = "gg",
         kernel: str = "packed",
         force_rdma: bool = False,
+        slice_size: int | None = None,
     ):
         if interpret is None:
             # Mosaic compiles only for TPU; interpret elsewhere (CPU tests)
@@ -143,7 +147,9 @@ class GreenGaussPallas:
         # locality relabel, then topology & device layout
         self.parts = [relabel_owned(p, rcb_owned_order(p, block=bp)) for p in parts]
         npoint_pad = max(p.npoint for p in self.parts) + 1
-        topo = build_halo_topology(self.parts, npoint_pad)
+        # multi-slice: ICI phases scheduled before DCN phases (topology.py)
+        topo = build_halo_topology(self.parts, npoint_pad,
+                                   slice_size=slice_size)
         self.topology = topo
         lay = build_tlayout(self.parts, topo, bp=bp)
         self.layout = lay

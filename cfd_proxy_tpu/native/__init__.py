@@ -51,7 +51,74 @@ def lib():
         f64p, ctypes.c_int64, ctypes.c_int32, i32p, ctypes.c_int64, f64p,
         f64p, ctypes.c_int32,
     ]
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i8p = ctypes.POINTER(ctypes.c_int8)
+    L.cfd_rcb_assign.restype = ctypes.c_int
+    L.cfd_rcb_assign.argtypes = [f64p, ctypes.c_int64, ctypes.c_int32, i32p]
+    L.cfd_ghosts_run.restype = ctypes.c_void_p
+    L.cfd_ghosts_run.argtypes = [
+        i32p, ctypes.c_int64, i32p, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32, i64p, i64p,
+    ]
+    L.cfd_ghosts_take.restype = ctypes.c_int
+    L.cfd_ghosts_take.argtypes = [
+        ctypes.c_void_p, i64p, i64p, i32p, i8p, i32p,
+    ]
     return L
+
+
+def rcb_assign_c(coords, npart: int):
+    """Native recursive coordinate bisection, or None if unavailable.
+
+    Same membership as the NumPy path for tie-free coordinates; ties at a
+    cut are broken by (value, global id) — see native/partition.cc."""
+    import numpy as np
+
+    L = lib()
+    if L is None:
+        return None
+    coords_c = np.ascontiguousarray(coords, np.float64)
+    owner = np.zeros(coords_c.shape[0], np.int32)
+    rc = L.cfd_rcb_assign(ptr(coords_c, ctypes.c_double), coords_c.shape[0],
+                          int(npart), ptr(owner, ctypes.c_int32))
+    return owner if rc == 0 else None
+
+
+def ghost_closure_c(faces, owner, npart: int, ghost_layers: int):
+    """Native sparse ghost closure (native/partition.cc) or None.
+
+    Returns (ghost_gid, ghost_depth, goff, face_ids, foff): per-partition
+    ghost points in BFS order + kept-face ids ascending, with prefix offsets.
+    """
+    import numpy as np
+
+    L = lib()
+    if L is None:
+        return None
+    faces_c = np.ascontiguousarray(faces, np.int32)
+    owner_c = np.ascontiguousarray(owner, np.int32)
+    F, N = faces_c.shape[0], owner_c.shape[0]
+    ng = ctypes.c_int64(0)
+    nf = ctypes.c_int64(0)
+    handle = L.cfd_ghosts_run(
+        ptr(faces_c, ctypes.c_int32), F, ptr(owner_c, ctypes.c_int32), N,
+        npart, ghost_layers, ctypes.byref(ng), ctypes.byref(nf),
+    )
+    if not handle:
+        return None
+    goff = np.zeros(npart + 1, np.int64)
+    foff = np.zeros(npart + 1, np.int64)
+    ghost_gid = np.zeros(ng.value, np.int32)
+    ghost_depth = np.zeros(ng.value, np.int8)
+    face_ids = np.zeros(nf.value, np.int32)
+    rc = L.cfd_ghosts_take(
+        handle, ptr(goff, ctypes.c_int64), ptr(foff, ctypes.c_int64),
+        ptr(ghost_gid, ctypes.c_int32), ptr(ghost_depth, ctypes.c_int8),
+        ptr(face_ids, ctypes.c_int32),
+    )
+    if rc != 0:
+        return None
+    return ghost_gid, ghost_depth, goff, face_ids, foff
 
 
 def golden_gg_c(var, faces, normals, nthreads: int = 1):

@@ -489,7 +489,6 @@ def sweep_blocks_overlap(
     srcs: jax.Array,             # (nphases,) i32 src device per phase
     interpret: bool = False,
     op: str = "gg",
-    collective_id: int = 1,
     packed: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """FUSED interior sweep + one-sided halo push — the GASPI analogue.
@@ -621,8 +620,11 @@ def sweep_blocks_overlap(
             jax.ShapeDtypeStruct(sendbufs.shape, jnp.float32),
         ),
         input_output_aliases={n_ops - 2: 0, n_ops - 1: 1},
-        compiler_params=pltpu.CompilerParams(
-            has_side_effects=True, collective_id=collective_id),
+        # NOTE: no collective_id — Mosaic rejects it for kernels without a
+        # get_barrier_semaphore custom barrier (hardware-verified; interpret
+        # mode does not catch this).  The RDMA send/recv semaphore pairing
+        # of make_async_remote_copy needs no global barrier id.
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(plan_arrays["block_ids"], dsts, srcs, *args)
     return grad, recv

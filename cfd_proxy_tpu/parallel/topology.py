@@ -35,6 +35,7 @@ class PhaseSpec:
     perm: list[tuple[int, int]]          # static (src, dst) pairs
     send_idx: np.ndarray                 # (P, S_max) i32; pad = 0
     recv_idx: np.ndarray                 # (P, S_max) i32; pad = npoint_pad (OOB)
+    inter_slice: bool = False            # phase crosses slice boundaries (DCN)
 
 
 @dataclass
@@ -54,12 +55,30 @@ class HaloTopology:
         return max((p.send_idx.shape[1] for p in self.phases), default=0)
 
 
-def build_halo_topology(parts: list[MeshPartition], npoint_pad: int) -> HaloTopology:
-    """Edge-color the comm graph into ppermute phases, round by round."""
+def build_halo_topology(
+    parts: list[MeshPartition], npoint_pad: int, *, slice_size: int | None = None
+) -> HaloTopology:
+    """Edge-color the comm graph into ppermute phases, round by round.
+
+    slice_size (multi-slice deployments, SURVEY.md §5.8): devices
+    [k*slice_size, (k+1)*slice_size) form TPU slice k.  Intra-slice edges
+    (ICI, fast) are colored into the EARLIEST phases and inter-slice edges
+    (DCN, slow) into separate LATER phases — never mixed, so each ppermute is
+    pure-ICI or pure-DCN and the early/overlap schedules naturally hide the
+    slow DCN phases under interior compute.  Device ids are assumed
+    slice-major (the order `jax.devices()` / mesh_utils yield); the RCB
+    partition order makes consecutive partitions geometric neighbors, so
+    most halo traffic stays intra-slice by construction.
+    """
     P = len(parts)
     check(P >= 1, "need at least one partition")
+    check(slice_size is None or slice_size >= 1,
+          "slice_size must be >= 1, got %r", slice_size)
     for pt in parts:
         check(pt.npoint <= npoint_pad, "npoint_pad %d < npoint %d", npoint_pad, pt.npoint)
+
+    def crosses(s: int, d: int) -> bool:
+        return slice_size is not None and (s // slice_size) != (d // slice_size)
 
     nrounds = max((pt.nrounds for pt in parts), default=0)
     phases: list[PhaseSpec] = []
@@ -79,36 +98,38 @@ def build_halo_topology(parts: list[MeshPartition], npoint_pad: int) -> HaloTopo
                           "send/recv size mismatch %d->%d", pt.part_id, e.partner)
                     edges.append((pt.part_id, e.partner, e.sendidx, back[0].recvidx))
 
-        # greedy edge coloring: smallest phase where src & dst are both free
-        # deterministic order: sort by (src, dst)
-        edges.sort(key=lambda t: (t[0], t[1]))
-        phase_of = []
-        used_src: list[set] = []
-        used_dst: list[set] = []
-        for (s, d, _si, _ri) in edges:
-            k = 0
-            while k < len(used_src) and (s in used_src[k] or d in used_dst[k]):
-                k += 1
-            if k == len(used_src):
-                used_src.append(set())
-                used_dst.append(set())
-            used_src[k].add(s)
-            used_dst[k].add(d)
-            phase_of.append(k)
+        # greedy edge coloring per transport class: intra-slice (ICI) edges
+        # first, inter-slice (DCN) edges into separate later phases.
+        # deterministic order within a class: sort by (src, dst)
+        edges.sort(key=lambda t: (crosses(t[0], t[1]), t[0], t[1]))
+        for inter in (False, True):
+            cls = [e for e in edges if crosses(e[0], e[1]) == inter]
+            phase_of = []
+            used_src: list[set] = []
+            used_dst: list[set] = []
+            for (s, d, _si, _ri) in cls:
+                k = 0
+                while k < len(used_src) and (s in used_src[k] or d in used_dst[k]):
+                    k += 1
+                if k == len(used_src):
+                    used_src.append(set())
+                    used_dst.append(set())
+                used_src[k].add(s)
+                used_dst[k].add(d)
+                phase_of.append(k)
 
-        nphase_r = len(used_src)
-        for k in range(nphase_r):
-            sel = [e for e, ph in zip(edges, phase_of) if ph == k]
-            smax = max(e[2].size for e in sel)
-            send_idx = np.zeros((P, smax), dtype=np.int32)
-            recv_idx = np.full((P, smax), npoint_pad, dtype=np.int32)  # OOB→drop
-            perm = []
-            for (s, d, si, ri) in sel:
-                perm.append((s, d))
-                send_idx[s, : si.size] = si
-                recv_idx[d, : ri.size] = ri
-            phases.append(PhaseSpec(round=r, perm=perm,
-                                    send_idx=send_idx, recv_idx=recv_idx))
+            for k in range(len(used_src)):
+                sel = [e for e, ph in zip(cls, phase_of) if ph == k]
+                smax = max(e[2].size for e in sel)
+                send_idx = np.zeros((P, smax), dtype=np.int32)
+                recv_idx = np.full((P, smax), npoint_pad, dtype=np.int32)  # OOB→drop
+                perm = []
+                for (s, d, si, ri) in sel:
+                    perm.append((s, d))
+                    send_idx[s, : si.size] = si
+                    recv_idx[d, : ri.size] = ri
+                phases.append(PhaseSpec(round=r, perm=perm, send_idx=send_idx,
+                                        recv_idx=recv_idx, inter_slice=inter))
 
     return HaloTopology(npart=P, npoint_pad=npoint_pad, nrounds=nrounds,
                         phases=phases)

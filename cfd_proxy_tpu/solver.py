@@ -47,7 +47,10 @@ class SolverConfig:
     force_rdma: bool = False    # keep the fused RDMA overlap kernel even
                                 # with no real transfers (P=1 self-send —
                                 # hardware proof of the GASPI analogue)
-    bp: int = 256               # points per Pallas block — the thread-config
+    slice_size: int | None = None   # devices per TPU slice: intra-slice
+                                    # (ICI) halo phases scheduled before
+                                    # inter-slice (DCN) ones
+    bp: int = 1024              # points per Pallas block — the thread-config
                                 # analogue (reference: pthread count sweeps)
     dtype: str = "float32"
     diag_frac: float = 0.2
@@ -90,7 +93,8 @@ def build_model(cfg: SolverConfig):
         if cfg.dtype != "float32":
             raise SystemExit("pallas backend is float32; use --backend xla for f64")
         model = GreenGaussPallas(parts, cfg.nvar, op=cfg.model, bp=cfg.bp,
-                                 kernel=cfg.kernel, force_rdma=cfg.force_rdma)
+                                 kernel=cfg.kernel, force_rdma=cfg.force_rdma,
+                                 slice_size=cfg.slice_size)
     else:
         if cfg.model != "gg":
             raise SystemExit("--model flux requires --backend pallas")
@@ -103,7 +107,8 @@ def build_model(cfg: SolverConfig):
             jax.config.update("jax_enable_x64", True)
             devices = f64_devices(cfg.parts)
         dtype = {"float32": jnp.float32, "float64": jnp.float64}[cfg.dtype]
-        model = GreenGaussModel(parts, cfg.nvar, dtype=dtype, devices=devices)
+        model = GreenGaussModel(parts, cfg.nvar, dtype=dtype, devices=devices,
+                                slice_size=cfg.slice_size)
     return model, gmesh
 
 
@@ -314,7 +319,10 @@ def main(argv=None) -> int:
     ap.add_argument("--force-rdma", action="store_true",
                     help="fused RDMA overlap kernel even with no real "
                          "transfers (P=1 self-send hardware smoke)")
-    ap.add_argument("--bp", type=int, default=256,
+    ap.add_argument("--slice-size", type=int, default=None,
+                    help="devices per TPU slice (multi-slice: ICI phases "
+                         "before DCN phases)")
+    ap.add_argument("--bp", type=int, default=1024,
                     help="points per Pallas block (multiple of 128)")
     ap.add_argument("--dtype", default="float32", choices=["float32", "float64"])
     ap.add_argument("--diag-frac", type=float, default=0.2)
@@ -330,7 +338,8 @@ def main(argv=None) -> int:
         parts=args.parts, ghost_layers=args.ghost_layers, nvar=args.nvar,
         iters=args.iters, warmup=args.warmup, schedule=args.schedule,
         backend=args.backend, model=args.model, kernel=args.kernel,
-        force_rdma=args.force_rdma, bp=args.bp, dtype=args.dtype,
+        force_rdma=args.force_rdma, slice_size=args.slice_size,
+        bp=args.bp, dtype=args.dtype,
         diag_frac=args.diag_frac, seed=args.seed,
         verify=not args.no_verify, json_out=args.json,
         profile_dir=args.profile_dir,

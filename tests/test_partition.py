@@ -115,3 +115,49 @@ def test_netcdf_roundtrip(tmp_path, mesh):
             assert a.partner == b.partner and a.round == b.round
             np.testing.assert_array_equal(a.sendidx, b.sendidx)
             np.testing.assert_array_equal(a.recvidx, b.recvidx)
+
+
+@pytest.mark.parametrize("ghost_layers", [1, 2])
+def test_native_ghost_closure_parity(ghost_layers):
+    """native/partition.cc ghost closure == the NumPy sparse path, exactly
+    (same global_ids, faces, normals, comm lists)."""
+    import os
+
+    from cfd_proxy_tpu.native import lib
+    import cfd_proxy_tpu.mesh.partition as mp
+
+    if lib() is None:
+        pytest.skip("native lib not built")
+    m = generate_mesh(12, 11, 10, jitter=0.05, diag_frac=0.25, shuffle=True,
+                      seed=3)
+    a = mp.partition_mesh(m, 6, ghost_layers=ghost_layers)
+    os.environ["CFD_NATIVE"] = "0"
+    lib.cache_clear()
+    try:
+        b = mp.partition_mesh(m, 6, ghost_layers=ghost_layers)
+    finally:
+        os.environ["CFD_NATIVE"] = "1"
+        lib.cache_clear()
+    for pa, pb in zip(a, b):
+        assert pa.nowned == pb.nowned
+        np.testing.assert_array_equal(pa.global_ids, pb.global_ids)
+        np.testing.assert_array_equal(pa.faces, pb.faces)
+        np.testing.assert_array_equal(pa.normals, pb.normals)
+        assert [(e.partner, e.round) for e in pa.comm] == \
+            [(e.partner, e.round) for e in pb.comm]
+        for ea, eb in zip(pa.comm, pb.comm):
+            np.testing.assert_array_equal(ea.sendidx, eb.sendidx)
+            np.testing.assert_array_equal(ea.recvidx, eb.recvidx)
+
+
+def test_rcb_assign_tie_fallback_deterministic():
+    """jitter=0 grids have coordinate ties at every cut; rcb_assign must fall
+    back to the stable sort and stay balanced + deterministic."""
+    from cfd_proxy_tpu.mesh.partition import rcb_assign
+
+    m = generate_mesh(8, 8, 8, jitter=0.0, diag_frac=0.0, seed=0)
+    o1 = rcb_assign(m.coords, 6)
+    o2 = rcb_assign(m.coords, 6)
+    np.testing.assert_array_equal(o1, o2)
+    counts = np.bincount(o1, minlength=6)
+    assert counts.max() - counts.min() <= 1

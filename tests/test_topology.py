@@ -71,3 +71,46 @@ def test_tlayout_permutation_completion(setup):
             k = (cols.min() - lay.ghost_start) // lay.s_max
             assert (cols >= lay.ghost_start + k * lay.s_max).all()
             assert (cols < lay.ghost_start + (k + 1) * lay.s_max).all()
+
+
+def test_slice_aware_phases_pure_and_ordered():
+    """Multi-slice scheduling (SURVEY.md §5.8): with slice_size set, no phase
+    mixes intra-slice (ICI) and inter-slice (DCN) edges, and within each
+    round every ICI phase precedes every DCN phase."""
+    mesh = generate_mesh(10, 9, 8, jitter=0.05, diag_frac=0.2, seed=0)
+    parts = partition_mesh(mesh, 8, ghost_layers=2)
+    npoint_pad = max(p.npoint for p in parts) + 1
+    topo = build_halo_topology(parts, npoint_pad, slice_size=4)
+    assert any(ph.inter_slice for ph in topo.phases), "mesh has DCN edges"
+    for ph in topo.phases:
+        kinds = {(s // 4) != (d // 4) for (s, d) in ph.perm}
+        assert kinds == {ph.inter_slice}, "phase mixes ICI and DCN edges"
+    for r in range(topo.nrounds):
+        flags = [ph.inter_slice for ph in topo.phases if ph.round == r]
+        assert flags == sorted(flags), "a DCN phase precedes an ICI phase"
+    # edge set identical to the slice-oblivious schedule
+    plain = build_halo_topology(parts, npoint_pad)
+    edges = lambda t: sorted((ph.round, s, d) for ph in t.phases
+                             for (s, d) in ph.perm)
+    assert edges(topo) == edges(plain)
+
+
+def test_slice_aware_results_bit_identical():
+    """Phase reordering must not change values: every ghost slot is filled by
+    exactly one phase (f64 XLA backend, exact mode)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cfd_proxy_tpu.mesh.generator import make_state
+    from cfd_proxy_tpu.models import GreenGaussModel
+
+    mesh = generate_mesh(9, 8, 7, jitter=0.05, diag_frac=0.2, seed=1)
+    gvar = make_state(mesh.npoint, 5, seed=2)
+    parts = partition_mesh(mesh, 8)
+    outs = {}
+    for ss in (None, 4, 2):
+        model = GreenGaussModel(parts, 5, dtype=jnp.float64, slice_size=ss)
+        var = model.distribute_state(gvar)
+        outs[ss] = np.asarray(model.step(var, "overlap", exact=True))
+    np.testing.assert_array_equal(outs[None], outs[4])
+    np.testing.assert_array_equal(outs[None], outs[2])
