@@ -72,7 +72,10 @@ def main() -> int:
     on_tpu = platform == "tpu"
     nx = int(os.environ.get("BENCH_NX", "96" if on_tpu else "16"))
     iters = int(os.environ.get("BENCH_ITERS", "300"))
-    schedule = os.environ.get("BENCH_SCHEDULE", "bulk")
+    # on TPU, time every schedule (incl. the fused-RDMA overlap via the P=1
+    # self-send phase) so the flagship path shows up in BENCH_r*.json; the
+    # headline metric stays the bulk sweep
+    schedule = os.environ.get("BENCH_SCHEDULE", "all" if on_tpu else "bulk")
     backend = os.environ.get("BENCH_BACKEND", "pallas")
     kernel = os.environ.get("BENCH_KERNEL", "packed")
     bp = int(os.environ.get("BENCH_BP", "1024"))

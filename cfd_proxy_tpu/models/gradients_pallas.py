@@ -120,6 +120,7 @@ class GreenGaussPallas:
         kernel: str = "packed",
         force_rdma: bool = False,
         slice_size: int | None = None,
+        meta_dtype: str = "float32",
     ):
         if interpret is None:
             # Mosaic compiles only for TPU; interpret elsewhere (CPU tests)
@@ -133,6 +134,14 @@ class GreenGaussPallas:
         # HBM traffic (memory-lean cross-check) — see ops/blocksweep.py
         self.kernel = kernel
         self.packed = kernel == "packed"
+        # bf16 slot weights halve the weight stream (BASELINE.md levers);
+        # the ±face-normal weights lose ~8 mantissa bits → results carry a
+        # ~1e-3 RELATIVE error bound vs golden instead of ~1e-7 (gated in
+        # tests/test_pallas_model.py).  State, sources and accumulation stay
+        # f32; weights are upcast before the FMA.
+        check(meta_dtype in ("float32", "bfloat16"),
+              "meta_dtype must be float32|bfloat16, got %r", meta_dtype)
+        self.meta_dtype = meta_dtype
         check(nvar <= NV, "nvar %d > padded NV %d", nvar, NV)
         # the flux kernel reads var[:3] as the velocity vector; with fewer
         # vars the padded zero rows would silently stand in for velocity
@@ -237,10 +246,14 @@ class GreenGaussPallas:
         def stack(key, dtype):
             return put(np.stack([getattr(p, key) for p in plans]).astype(dtype))
 
+        import jax.numpy as _jnp
+
+        w_dtype = (_jnp.bfloat16 if self.meta_dtype == "bfloat16"
+                   else np.float32)
         out = {
             "block_ids": stack("block_ids", np.int32),
             "slot_idx": stack("slot_idx", np.int32),
-            "slot_w": stack("slot_w", np.float32),
+            "slot_w": stack("slot_w", w_dtype),
             "scale": stack("scale", np.float32),
             "ext_idx": stack("ext_idx", np.int32),
         }

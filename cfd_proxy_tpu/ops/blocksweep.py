@@ -301,7 +301,8 @@ def _block_compute(bp: int, ep: int, kslots: int, accumulate: bool, op: str):
                     tbl_j = tbl[:, j * LANE : (j + 1) * LANE]
                     g_j = jnp.take_along_axis(tbl_j, lo, axis=1)
                     gat = jnp.where(hi == j, g_j, gat)
-                wk = sw_ref[0, k, :, t * LANE : (t + 1) * LANE]   # (3, 128)
+                wk = sw_ref[0, k, :, t * LANE : (t + 1) * LANE].astype(
+                    jnp.float32)                                  # (3, 128)
                 if op == "gg":
                     avg = 0.5 * (own_tile + gat)                  # (NV, 128)
                     acc = acc + (wk[:, None, :] * avg[None, :, :]).reshape(
@@ -324,7 +325,11 @@ def _block_compute_packed(bp: int, kslots: int, accumulate: bool, op: str):
     into src_ref (1, K, NV, BP) — pure stream + FMA, no in-kernel gathers.
 
     Slot-k accumulation order matches the gather kernel's (same per-lane
-    summation order; schedule composition stays order-identical)."""
+    summation order; schedule composition stays order-identical).
+
+    slot_w may arrive in bf16 (--meta-dtype bf16: halves the weight stream;
+    ~1e-3 relative error bound, see models/gradients_pallas.py) — weights
+    are upcast to f32 before the FMA either way."""
     rows = out_rows(op)
 
     def compute(own_ref, src_ref, sw_ref, scale_ref, init_ref, out_ref):
@@ -335,7 +340,7 @@ def _block_compute_packed(bp: int, kslots: int, accumulate: bool, op: str):
             acc = jnp.zeros((rows, bp), jnp.float32)
         for k in range(kslots):
             gat = src_ref[0, k]                               # (NV, bp)
-            wk = sw_ref[0, k]                                 # (3, bp)
+            wk = sw_ref[0, k].astype(jnp.float32)             # (3, bp)
             if op == "gg":
                 avg = 0.5 * (own + gat)
                 acc = acc + (wk[:, None, :] * avg[None, :, :]).reshape(rows, bp)

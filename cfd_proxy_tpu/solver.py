@@ -50,6 +50,8 @@ class SolverConfig:
     slice_size: int | None = None   # devices per TPU slice: intra-slice
                                     # (ICI) halo phases scheduled before
                                     # inter-slice (DCN) ones
+    meta_dtype: str = "float32"     # bfloat16 halves the slot-weight stream
+                                    # (~1e-3 rel error bound; BASELINE.md)
     bp: int = 1024              # points per Pallas block — the thread-config
                                 # analogue (reference: pthread count sweeps)
     dtype: str = "float32"
@@ -94,7 +96,8 @@ def build_model(cfg: SolverConfig):
             raise SystemExit("pallas backend is float32; use --backend xla for f64")
         model = GreenGaussPallas(parts, cfg.nvar, op=cfg.model, bp=cfg.bp,
                                  kernel=cfg.kernel, force_rdma=cfg.force_rdma,
-                                 slice_size=cfg.slice_size)
+                                 slice_size=cfg.slice_size,
+                                 meta_dtype=cfg.meta_dtype)
     else:
         if cfg.model != "gg":
             raise SystemExit("--model flux requires --backend pallas")
@@ -322,6 +325,9 @@ def main(argv=None) -> int:
     ap.add_argument("--slice-size", type=int, default=None,
                     help="devices per TPU slice (multi-slice: ICI phases "
                          "before DCN phases)")
+    ap.add_argument("--meta-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="slot-weight precision (bfloat16: ~1e-3 rel bound)")
     ap.add_argument("--bp", type=int, default=1024,
                     help="points per Pallas block (multiple of 128)")
     ap.add_argument("--dtype", default="float32", choices=["float32", "float64"])
@@ -339,7 +345,7 @@ def main(argv=None) -> int:
         iters=args.iters, warmup=args.warmup, schedule=args.schedule,
         backend=args.backend, model=args.model, kernel=args.kernel,
         force_rdma=args.force_rdma, slice_size=args.slice_size,
-        bp=args.bp, dtype=args.dtype,
+        meta_dtype=args.meta_dtype, bp=args.bp, dtype=args.dtype,
         diag_frac=args.diag_frac, seed=args.seed,
         verify=not args.no_verify, json_out=args.json,
         profile_dir=args.profile_dir,

@@ -74,6 +74,20 @@ def test_force_rdma_self_send_p1(mesh, gvar):
     np.testing.assert_array_equal(ga[:, :, :n], gb[:, :, :n])
 
 
+def test_bf16_meta_dtype_bounded(mesh, gvar, gref):
+    """--meta-dtype bfloat16 halves the slot-weight stream; the ±normal
+    weights lose ~8 mantissa bits → documented ~1e-3 relative bound vs
+    golden (measured ~3e-5 on the test mesh)."""
+    parts = partition_mesh(mesh, 4)
+    model = GreenGaussPallas(parts, NVAR, bp=128, interpret=True,
+                             meta_dtype="bfloat16")
+    state = model.distribute_state(gvar)
+    got = model.gather_global(np.asarray(model.step(state, "bulk")))
+    denom = max(1.0, np.abs(gref).max())
+    err = np.abs(got - gref).max() / denom
+    assert 1e-7 < err < 1e-3, err   # must differ from f32 yet stay bounded
+
+
 def test_packed_matches_gather_kernel(mesh, gvar):
     """The two sweep formulations (pre-gathered sources vs in-kernel gathers)
     agree to FMA-contraction noise — the cross-check of kernel strategies
