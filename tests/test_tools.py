@@ -45,3 +45,31 @@ def test_scaling_model_runs(capsys):
     out = capsys.readouterr().out
     assert "MODEL (not measurement)" in out
     assert out.strip().splitlines()[-1].split()[0] == "4"
+
+
+def test_fixture_generate_and_verify_roundtrip(tmp_path, monkeypatch):
+    """fixture tool: generate writes files + manifest; verify regenerates
+    byte-identically; a recipe perturbation must MISMATCH (uses a tiny
+    recipe so the test stays fast)."""
+    import cfd_proxy_tpu.tools.fixture as fx
+
+    tiny = dict(fx.RECIPE, nx=6, ny=6, nz=5, parts=[2])
+    monkeypatch.setattr(fx, "RECIPE", tiny)
+    manifest = str(tmp_path / "manifest.json")
+    assert fx.main(["generate", "--dir", str(tmp_path / "a"),
+                    "--manifest", manifest]) == 0
+    assert fx.main(["verify", "--dir", str(tmp_path / "b"),
+                    "--manifest", manifest]) == 0
+    monkeypatch.setattr(fx, "RECIPE", dict(tiny, seed=tiny["seed"] + 1))
+    assert fx.main(["verify", "--dir", str(tmp_path / "c"),
+                    "--manifest", manifest]) == 1
+
+
+def test_kbench_interpret_smoke(capsys):
+    """kernel microbench runs in interpret mode and the golden check passes."""
+    from cfd_proxy_tpu.tools.kbench import main as kbench_main
+
+    rc = kbench_main(["--nx", "6", "--bp", "128", "--iters", "2",
+                      "--variants", "prod", "--check"])
+    assert rc == 0
+    assert "OK" in capsys.readouterr().out
