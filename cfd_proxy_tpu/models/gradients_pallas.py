@@ -303,22 +303,24 @@ class GreenGaussPallas:
         """Per-class pre-gathered tables: ext columns (gather kernel) or full
         slot sources (packed kernel).  Setup-time XLA gathers, off the timed
         hot loop (see ops/blocksweep.py module doc)."""
-        gather_fn = gather_srcs if self.packed else gather_exts
-        idx_key = "src_cols" if self.packed else "ext_idx"
+        if "build_tables" not in self._step_cache:
+            gather_fn = gather_srcs if self.packed else gather_exts
 
-        def body(v, bulk_i, b_i, i_i):
-            return (
-                gather_fn(v[0], bulk_i[0])[None],
-                gather_fn(v[0], b_i[0])[None],
-                gather_fn(v[0], i_i[0])[None],
+            def body(v, bulk_i, b_i, i_i):
+                return (
+                    gather_fn(v[0], bulk_i[0])[None],
+                    gather_fn(v[0], b_i[0])[None],
+                    gather_fn(v[0], i_i[0])[None],
+                )
+
+            fn = _shard_map(
+                body, self.mesh,
+                in_specs=(P(AXIS),) * 4,
+                out_specs=(P(AXIS),) * 3,
             )
-
-        fn = _shard_map(
-            body, self.mesh,
-            in_specs=(P(AXIS),) * 4,
-            out_specs=(P(AXIS),) * 3,
-        )
-        t_bulk, t_b, t_i = jax.jit(fn)(
+            self._step_cache["build_tables"] = jax.jit(fn)
+        idx_key = "src_cols" if self.packed else "ext_idx"
+        t_bulk, t_b, t_i = self._step_cache["build_tables"](
             var_T,
             self._plans_dev["bulk"][idx_key],
             self._plans_dev["boundary"][idx_key],
