@@ -158,3 +158,20 @@ def test_refresh_state_solver_mode(mesh, gvar):
     ).reshape(mesh.npoint, -1)
     err = np.abs(got - gref2).max() / max(1.0, np.abs(gref2).max())
     assert err < 1e-5, err
+
+
+def test_pallas_slice_aware_matches(mesh, gvar, gref):
+    """slice_size on the Pallas model: ICI-before-DCN phase ordering must not
+    change results (each ghost filled by exactly one phase)."""
+    parts = partition_mesh(mesh, 8)
+    outs = {}
+    for ss in (None, 4):
+        model = GreenGaussPallas(parts, NVAR, bp=128, interpret=True,
+                                 slice_size=ss)
+        state = model.distribute_state(gvar)
+        outs[ss] = model.gather_global(np.asarray(model.step(state, "overlap")))
+    denom = max(1.0, np.abs(gref).max())
+    assert np.abs(outs[4] - gref).max() / denom < 1e-5
+    # phase REORDERING may regroup ghost regions; owned results must agree
+    # to kernel-compilation noise
+    assert np.abs(outs[4] - outs[None]).max() / denom < 1e-6
