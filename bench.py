@@ -50,10 +50,12 @@ def measure_cpu_golden(nx: int = 32) -> dict:
             ts.append(time.perf_counter() - t0)
         return m.nface / min(ts)
 
+    from cfd_proxy_tpu.native import lib
+
     out = {"cpu_nface": m.nface, "host_cores": _os.cpu_count() or 1}
     out["numpy_fps"] = best(
         lambda: compute_gradients_gg(var, m.faces, m.normals))
-    if golden_gg_c(var, m.faces, m.normals) is not None:
+    if lib() is not None:
         out["c1_fps"] = best(
             lambda: golden_gg_c(var, m.faces, m.normals, nthreads=1))
         nt = out["host_cores"]
@@ -91,9 +93,10 @@ def main() -> int:
         nx=nx, ny=nx, nz=nx, parts=1, nvar=7, iters=iters, warmup=3,
         schedule=schedule, backend=backend, kernel=kernel, bp=bp,
         dtype="float32", verify=False,
-        # schedule=all exercises the flagship overlap path too: at P=1 the
-        # fused RDMA kernel still runs (self-send phase) when forced
-        force_rdma=(schedule == "all"),
+        # the flagship overlap path must actually run the fused RDMA kernel:
+        # at P=1 that needs the forced self-send phase, both for schedule=all
+        # and for an explicit BENCH_SCHEDULE=overlap
+        force_rdma=(schedule in ("all", "overlap")),
     )
     t0 = time.perf_counter()
     results, _stats = run(cfg)

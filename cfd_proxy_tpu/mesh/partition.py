@@ -59,9 +59,11 @@ def rcb_assign(coords: np.ndarray, npart: int, *, _ids=None) -> np.ndarray:
             # O(N) selection: same left/right membership as a stable sort
             # whenever the cut value is unique; ties (e.g. jitter=0 grids)
             # fall back to the stable sort so membership stays the historic
-            # deterministic one (committed fixtures depend on it)
+            # deterministic one (committed fixtures depend on it).  The tie
+            # probe compares the LEFT partition's max (argpartition only
+            # guarantees position k, not the layout around it)
             ord_ = np.argpartition(vals, k)
-            if vals[ord_[k - 1]] == vals[ord_[k]]:
+            if vals[ord_[:k]].max() == vals[ord_[k]]:
                 ord_ = np.argsort(vals, kind="stable")
         else:
             ord_ = np.argsort(vals, kind="stable")

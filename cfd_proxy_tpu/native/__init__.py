@@ -13,25 +13,47 @@ from functools import lru_cache
 _SO = os.path.join(os.path.dirname(__file__), "libcfdprep.so")
 
 
+def _make():
+    """Best-effort build (the .so is not committed); callers fall back."""
+    import subprocess
+
+    mk = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+    try:
+        subprocess.run(["make", "-C", mk], capture_output=True, timeout=120)
+    except Exception:
+        pass
+
+
 @lru_cache(maxsize=1)
 def lib():
     if os.environ.get("CFD_NATIVE", "1") == "0":
         return None
     if not os.path.exists(_SO):
-        # best-effort build (the .so is not committed); fall back on failure
-        import subprocess
-
-        mk = os.path.join(os.path.dirname(__file__), "..", "..", "native")
-        try:
-            subprocess.run(["make", "-C", mk], capture_output=True, timeout=120)
-        except Exception:
-            pass
+        _make()
     if not os.path.exists(_SO):
         return None
+    L = _bind(_SO)
+    if L is None:
+        # stale .so from an older checkout (missing newer symbols): rebuild
+        # once, then give up gracefully — the NumPy paths are equivalent
+        _make()
+        L = _bind(_SO)
+    return L
+
+
+def _bind(path):
     try:
-        L = ctypes.CDLL(_SO)
+        L = ctypes.CDLL(path)
     except OSError:
         return None
+    try:
+        _declare(L)
+    except AttributeError:
+        return None
+    return L
+
+
+def _declare(L):
     i32p = ctypes.POINTER(ctypes.c_int32)
     u8p = ctypes.POINTER(ctypes.c_uint8)
     f32p = ctypes.POINTER(ctypes.c_float)
@@ -64,7 +86,6 @@ def lib():
     L.cfd_ghosts_take.argtypes = [
         ctypes.c_void_p, i64p, i64p, i32p, i8p, i32p,
     ]
-    return L
 
 
 def rcb_assign_c(coords, npart: int):

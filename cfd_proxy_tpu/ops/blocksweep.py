@@ -516,7 +516,8 @@ def sweep_blocks_overlap(
     else:
         compute_gather = _block_compute(bp, ep, kslots, True, op)
 
-    def body(dsts_ref, send_ref, recv_ref, send_sems, recv_sems, run_compute):
+    def body(dsts_ref, srcs_ref, send_ref, recv_ref, send_sems, recv_sems,
+             run_compute):
         i = pl.program_id(0)
         n = pl.num_programs(0)
 
@@ -536,6 +537,20 @@ def sweep_blocks_overlap(
         # under the whole interior sweep
         @pl.when(i == 0)
         def _():
+            # readiness barrier before any one-sided push: a remote write may
+            # not land before its receiver has entered this kernel (its recv
+            # buffer may still be live for preceding XLA work).  Each device
+            # tells every SOURCE "my buffers are ready", then waits until all
+            # of its own RECEIVERS said so.  Self-sends balance the count.
+            # (Compiled mode only: the interpreter cannot lower
+            # get_barrier_semaphore and synchronizes collectives itself.)
+            if not interpret:
+                barrier = pltpu.get_barrier_semaphore()
+                for k in range(nph):
+                    pltpu.semaphore_signal(
+                        barrier, inc=1, device_id=srcs_ref[k],
+                        device_id_type=pltpu.DeviceIdType.LOGICAL)
+                pltpu.semaphore_wait(barrier, nph)
             for k in range(nph):
                 rdma(k).start()
 
@@ -552,8 +567,7 @@ def sweep_blocks_overlap(
                    scale_ref, send_ref, init_ref, rinit_ref,
                    out_ref, recv_ref, send_sems, recv_sems):
             del rinit_ref  # aliased with recv_ref: zeros phases with no recv
-            del srcs_ref   # kept in the signature for symmetry/debugging
-            body(dsts_ref, send_ref, recv_ref, send_sems, recv_sems,
+            body(dsts_ref, srcs_ref, send_ref, recv_ref, send_sems, recv_sems,
                  lambda: compute_packed(own_ref, src_ref, sw_ref, scale_ref,
                                         init_ref, out_ref))
     else:
@@ -561,8 +575,7 @@ def sweep_blocks_overlap(
                    sidx_ref, sw_ref, scale_ref, send_ref, init_ref, rinit_ref,
                    out_ref, recv_ref, send_sems, recv_sems):
             del rinit_ref
-            del srcs_ref
-            body(dsts_ref, send_ref, recv_ref, send_sems, recv_sems,
+            body(dsts_ref, srcs_ref, send_ref, recv_ref, send_sems, recv_sems,
                  lambda: compute_gather(own_ref, ext_ref, sidx_ref, sw_ref,
                                         scale_ref, init_ref, out_ref))
 
@@ -625,25 +638,14 @@ def sweep_blocks_overlap(
             jax.ShapeDtypeStruct(sendbufs.shape, jnp.float32),
         ),
         input_output_aliases={n_ops - 2: 0, n_ops - 1: 1},
-        # NOTE: no collective_id — Mosaic rejects it for kernels without a
-        # get_barrier_semaphore custom barrier (hardware-verified; interpret
-        # mode does not catch this).  The RDMA send/recv semaphore pairing
-        # of make_async_remote_copy needs no global barrier id.
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        # collective_id is required by (and only valid with) the
+        # get_barrier_semaphore readiness barrier above — Mosaic rejects it
+        # for kernels without a custom barrier (hardware-verified)
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, collective_id=7),
         interpret=interpret,
     )(plan_arrays["block_ids"], dsts, srcs, *args)
     return grad, recv
-
-
-def device_block_plan(plan: BlockPlan) -> dict:
-    """Upload BlockPlan arrays (exts filled separately per state)."""
-    return {
-        "block_ids": jnp.asarray(plan.block_ids),
-        "slot_idx": jnp.asarray(plan.slot_idx),
-        "slot_w": jnp.asarray(plan.slot_w),
-        "scale": jnp.asarray(plan.scale),
-        "ext_idx": jnp.asarray(plan.ext_idx),
-    }
 
 
 def gather_exts(var_T: jax.Array, ext_idx: jax.Array) -> jax.Array:

@@ -175,6 +175,10 @@ def main(argv=None) -> int:
 
     for name in args.variants.split(","):
         t = timed(variants[name])
+        if not np.isfinite(t):
+            print(f"{name:8s} below dispatch-noise floor — rerun with a "
+                  f"larger --iters/--nx", flush=True)
+            continue
         print(f"{name:8s} {t * 1e3:8.3f} ms  {m.nface / t / 1e9:6.2f} Gf/s",
               flush=True)
     return rc

@@ -151,6 +151,11 @@ void* cfd_ghosts_run(const int32_t* faces, int64_t F, const int32_t* owner,
                      int64_t N, int32_t npart, int32_t K,
                      int64_t* nghost_total, int64_t* nface_total) {
     if (N <= 0 || F < 0 || npart <= 0 || K < 1) return nullptr;
+    for (int64_t f = 0; f < 2 * F; ++f) {
+        // a corrupt mesh must fail cleanly (NumPy fallback raises), not
+        // corrupt the CSR offsets heap
+        if (faces[f] < 0 || faces[f] >= N) return nullptr;
+    }
     const Csr c = build_csr(faces, F, N);
     std::vector<std::vector<int32_t>> own(npart);
     for (int64_t i = 0; i < N; ++i) {

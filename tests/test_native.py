@@ -68,3 +68,28 @@ def test_c_golden_bit_matches_numpy_golden():
     # threaded mode: perf denominator only — f64-roundoff-level agreement
     got4 = golden_gg_c(var, m.faces, m.normals, nthreads=4)
     np.testing.assert_allclose(got4, ref, rtol=1e-12, atol=1e-12)
+
+
+def test_stale_so_missing_symbols_returns_none(tmp_path):
+    """A shared object from an older checkout (missing newer symbols) must
+    bind to None so callers fall back to NumPy instead of crashing."""
+    import subprocess
+
+    from cfd_proxy_tpu.native import _bind
+
+    src = tmp_path / "dummy.cc"
+    src.write_text('extern "C" int cfd_plan_sizes() { return 0; }\n')
+    so = tmp_path / "dummy.so"
+    subprocess.run(["g++", "-shared", "-fPIC", str(src), "-o", str(so)],
+                   check=True)
+    assert _bind(str(so)) is None
+
+
+def test_native_ghosts_reject_corrupt_faces():
+    """Out-of-range face endpoints must fail cleanly (None), not corrupt the
+    CSR heap."""
+    from cfd_proxy_tpu.native import ghost_closure_c
+
+    faces = np.array([[0, 1], [2, 99]], np.int32)   # endpoint 99 >= N
+    owner = np.zeros(4, np.int32)
+    assert ghost_closure_c(faces, owner, 1, 1) is None
