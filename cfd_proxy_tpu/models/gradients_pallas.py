@@ -42,9 +42,8 @@ from cfd_proxy_tpu.ops.blocksweep import (
     BlockPlan,
     build_block_plan,
     gather_exts,
-    gather_srcs,
     out_rows,
-    slot_src_cols,
+    pack_srcs,
     sweep_blocks,
     sweep_blocks_overlap,
 )
@@ -250,16 +249,13 @@ class GreenGaussPallas:
 
         w_dtype = (_jnp.bfloat16 if self.meta_dtype == "bfloat16"
                    else np.float32)
-        out = {
+        return {
             "block_ids": stack("block_ids", np.int32),
             "slot_idx": stack("slot_idx", np.int32),
             "slot_w": stack("slot_w", w_dtype),
             "scale": stack("scale", np.float32),
             "ext_idx": stack("ext_idx", np.int32),
         }
-        if self.packed:
-            out["src_cols"] = put(np.stack([slot_src_cols(p) for p in plans]))
-        return out
 
     # ---------------------------------------------------------------- state
 
@@ -301,17 +297,28 @@ class GreenGaussPallas:
 
     def _build_tables(self, var_T: jax.Array) -> dict:
         """Per-class pre-gathered tables: ext columns (gather kernel) or full
-        slot sources (packed kernel).  Setup-time XLA gathers, off the timed
-        hot loop (see ops/blocksweep.py module doc)."""
+        slot sources (packed kernel).  Off the timed hot loop; for packed the
+        sources are packed by a Pallas kernel at sweep speed (pack_srcs) from
+        the small RCB-local ext tables — XLA's gather lowering alone costs
+        ~90 ms per state update at 2.8M faces."""
         if "build_tables" not in self._step_cache:
-            gather_fn = gather_srcs if self.packed else gather_exts
 
-            def body(v, bulk_i, b_i, i_i):
-                return (
-                    gather_fn(v[0], bulk_i[0])[None],
-                    gather_fn(v[0], b_i[0])[None],
-                    gather_fn(v[0], i_i[0])[None],
-                )
+            def body(v, pb, pbd, pi):
+                outs = []
+                for cls, plans in (("bulk", pb), ("boundary", pbd),
+                                   ("interior", pi)):
+                    pa = _sq(plans)
+                    exts = gather_exts(v[0], pa["ext_idx"])
+                    if self.packed:
+                        ep, ks, nb = self._dims[cls]
+                        pa = dict(pa)
+                        pa["exts"] = exts
+                        outs.append(pack_srcs(
+                            v[0], pa, bp=self.bp, ep=ep, kslots=ks,
+                            nblocks=nb, interpret=self.interpret)[None])
+                    else:
+                        outs.append(exts[None])
+                return tuple(outs)
 
             fn = _shard_map(
                 body, self.mesh,
@@ -319,12 +326,11 @@ class GreenGaussPallas:
                 out_specs=(P(AXIS),) * 3,
             )
             self._step_cache["build_tables"] = jax.jit(fn)
-        idx_key = "src_cols" if self.packed else "ext_idx"
         t_bulk, t_b, t_i = self._step_cache["build_tables"](
             var_T,
-            self._plans_dev["bulk"][idx_key],
-            self._plans_dev["boundary"][idx_key],
-            self._plans_dev["interior"][idx_key],
+            self._plans_dev["bulk"],
+            self._plans_dev["boundary"],
+            self._plans_dev["interior"],
         )
         return {"tbl_bulk": t_bulk, "tbl_boundary": t_b, "tbl_interior": t_i}
 

@@ -659,9 +659,70 @@ def gather_exts(var_T: jax.Array, ext_idx: jax.Array) -> jax.Array:
 
 def gather_srcs(var_T: jax.Array, src_cols: jax.Array) -> jax.Array:
     """(NV, N) × (nblocks, K, BP) → (nblocks, K, NV, BP) pre-gathered slot
-    sources for the PACKED formulation.  Setup-time only, same justification
-    as `gather_exts`; a real solver re-runs this once per state update
-    (refresh_state)."""
+    sources for the PACKED formulation, via XLA take.  Reference path for
+    tests/microbenches; production state updates use `pack_srcs` (XLA's
+    gather lowering runs ~5-7 GB/s on this class of index sets — ~90 ms per
+    refresh at 2.8M faces — where the Pallas pack runs at sweep speed)."""
     nb, k, bp = src_cols.shape
     g = jnp.take(var_T, src_cols.reshape(-1), axis=1)    # (NV, nb*K*BP)
     return jnp.moveaxis(g.reshape(NV, nb, k, bp), 0, 2)
+
+
+def pack_srcs(
+    var_T: jax.Array,            # (NV, npoint_dev) f32
+    plan_arrays: dict,           # block_ids, exts (nb, NV, EP), slot_idx
+    *,
+    bp: int,
+    ep: int,
+    kslots: int,
+    nblocks: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Pallas source re-pack for the PACKED formulation: gather each slot's
+    source VALUES into (nblocks, K, NV, BP) using the same in-VMEM masked
+    multi-pass machinery as the GATHER sweep — but writing values instead of
+    accumulating.  One state update costs ~a sweep instead of XLA's slow
+    gather; exts are the (small, RCB-local) pre-gathered ext columns."""
+    ntile = bp // LANE
+    npass = (bp + ep) // LANE
+
+    def kernel(bids_ref, own_ref, ext_ref, sidx_ref, out_ref):
+        tbl = jnp.concatenate([own_ref[:], ext_ref[0]], axis=1)  # (NV, W)
+        for t in range(ntile):
+            for k in range(kslots):
+                idx = sidx_ref[0, k, t * LANE : (t + 1) * LANE]
+                hi = jnp.broadcast_to((idx >> 7)[None, :], (NV, LANE))
+                lo = jnp.broadcast_to((idx & 127)[None, :], (NV, LANE))
+                gat = jnp.zeros((NV, LANE), jnp.float32)
+                for j in range(npass):
+                    tbl_j = tbl[:, j * LANE : (j + 1) * LANE]
+                    g_j = jnp.take_along_axis(tbl_j, lo, axis=1)
+                    gat = jnp.where(hi == j, g_j, gat)
+                out_ref[0, k, :, t * LANE : (t + 1) * LANE] = gat
+
+    def bid(i, bids):
+        return bids[i]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((NV, bp), lambda i, bids: (0, bid(i, bids)),
+                         memory_space=pltpu.VMEM),                   # own
+            pl.BlockSpec((1, NV, ep), lambda i, bids: (i, 0, 0),
+                         memory_space=pltpu.VMEM),                   # exts
+            pl.BlockSpec((1, kslots, bp), lambda i, bids: (i, 0, 0),
+                         memory_space=pltpu.VMEM),                   # slot_idx
+        ],
+        out_specs=pl.BlockSpec((1, kslots, NV, bp),
+                               lambda i, bids: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nblocks, kslots, NV, bp),
+                                       jnp.float32),
+        interpret=interpret,
+    )(plan_arrays["block_ids"], var_T, plan_arrays["exts"],
+      plan_arrays["slot_idx"])
