@@ -55,21 +55,41 @@ def generate_mesh(
     diag_frac: float = 0.0,
     shuffle: bool = True,
     seed: int = 0,
+    stretch: float = 1.0,
 ) -> GlobalMesh:
     """Generate an edge-based mesh on an nx×ny×nz point grid.
 
     diag_frac: fraction of cells that additionally get a body-diagonal edge
     (valence skew).  jitter: coordinate noise in units of `spacing`.
+    stretch: geometric z-spacing growth ratio (boundary-layer anisotropy,
+    like the reference's F6 aircraft mesh): layer-k spacing is
+    spacing·stretch^k, with dual volumes and dual-face areas following the
+    geometry consistently — so the linear-field Green-Gauss anchor still
+    holds at interior points, and the volume scaling exercises a large
+    dynamic range (an f32 stress).
     """
     check(nx >= 2 and ny >= 2 and nz >= 2, "need at least 2 points per axis")
+    check(stretch > 0, "stretch must be positive")
     rng = np.random.default_rng(seed)
     N = nx * ny * nz
     h = float(spacing)
 
+    # z layer positions + per-layer dual extents (stretch == 1 → uniform h)
+    dz = h * np.power(float(stretch), np.arange(nz - 1))
+    zpos = np.concatenate([[0.0], np.cumsum(dz)])
+    dzdual = np.empty(nz)
+    dzdual[0] = dz[0] / 2
+    dzdual[-1] = dz[-1] / 2
+    if nz > 2:
+        dzdual[1:-1] = (dz[:-1] + dz[1:]) / 2
+
     ii, jj, kk = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz), indexing="ij")
-    coords = np.stack([ii, jj, kk], axis=-1).reshape(N, 3).astype(np.float64) * h
+    coords = np.stack([ii * h, jj * h, zpos[kk]], axis=-1).reshape(N, 3)
     if jitter:
-        coords = coords + rng.uniform(-jitter * h, jitter * h, size=coords.shape)
+        noise = rng.uniform(-jitter, jitter, size=coords.shape)
+        noise[:, :2] *= h
+        noise[:, 2] *= dzdual[kk.ravel()]   # z noise in LOCAL layer units
+        coords = coords + noise
 
     def gid(i, j, k):
         return (i * ny + j) * nz + k
@@ -77,24 +97,23 @@ def generate_mesh(
     # axis-aligned edges; dual-face area vector per axis
     edges = []
     norms = []
-    areas = (h * h, h * h, h * h)
-    # x-edges
+    # x-edges: dual face spans h (y) × local layer extent (z)
     e0 = gid(ii[:-1, :, :], jj[:-1, :, :], kk[:-1, :, :]).ravel()
     e1 = gid(ii[:-1, :, :] + 1, jj[:-1, :, :], kk[:-1, :, :]).ravel()
     edges.append(np.stack([e0, e1], axis=1))
-    n = np.zeros((e0.size, 3)); n[:, 0] = areas[0]
+    n = np.zeros((e0.size, 3)); n[:, 0] = h * dzdual[kk[:-1, :, :].ravel()]
     norms.append(n)
     # y-edges
     e0 = gid(ii[:, :-1, :], jj[:, :-1, :], kk[:, :-1, :]).ravel()
     e1 = gid(ii[:, :-1, :], jj[:, :-1, :] + 1, kk[:, :-1, :]).ravel()
     edges.append(np.stack([e0, e1], axis=1))
-    n = np.zeros((e0.size, 3)); n[:, 1] = areas[1]
+    n = np.zeros((e0.size, 3)); n[:, 1] = h * dzdual[kk[:, :-1, :].ravel()]
     norms.append(n)
-    # z-edges
+    # z-edges: dual face is an x-y plane, h×h regardless of stretch
     e0 = gid(ii[:, :, :-1], jj[:, :, :-1], kk[:, :, :-1]).ravel()
     e1 = gid(ii[:, :, :-1], jj[:, :, :-1], kk[:, :, :-1] + 1).ravel()
     edges.append(np.stack([e0, e1], axis=1))
-    n = np.zeros((e0.size, 3)); n[:, 2] = areas[2]
+    n = np.zeros((e0.size, 3)); n[:, 2] = h * h
     norms.append(n)
 
     if diag_frac > 0:
@@ -114,7 +133,7 @@ def generate_mesh(
 
     faces = np.concatenate(edges, axis=0).astype(np.int64)
     normals = np.concatenate(norms, axis=0)
-    volume = np.full(N, h * h * h, dtype=np.float64)
+    volume = (h * h * dzdual[kk.ravel()]).astype(np.float64)
 
     if shuffle:
         perm = rng.permutation(N)          # new id of old point i is perm[i]

@@ -33,23 +33,28 @@ def _mesh_and_state(args):
     return mesh, var
 
 
-def _golden(mesh, var):
+def _golden(mesh, var, model="gg"):
+    if model == "flux":
+        from cfd_proxy_tpu.ops.flux import compute_psd_flux, flux_residual_scale
+
+        r = compute_psd_flux(var.astype(np.float64), mesh.faces, mesh.normals)
+        return flux_residual_scale(r, mesh.volume, mesh.npoint)
     g = compute_gradients_gg(var.astype(np.float64), mesh.faces, mesh.normals)
     return scale_gradients(g, mesh.volume, mesh.npoint).reshape(mesh.npoint, -1)
 
 
 def cmd_dump(args) -> int:
     mesh, var = _mesh_and_state(args)
-    grad = _golden(mesh, var)
+    grad = _golden(mesh, var, args.model)
     ds = netcdf3.Dataset()
     ds.attrs = {
         "nx": args.nx, "ny": args.ny or args.nx, "nz": args.nz or args.nx,
         "nvar": args.nvar, "seed": args.seed, "jitter": args.jitter,
-        "diag_frac": args.diag_frac,
+        "diag_frac": args.diag_frac, "model": args.model,
     }
     ds.add("gradients", ("points", "cols"), grad)
     netcdf3.write(args.out, ds)
-    print(f"wrote {args.out}: gradients {grad.shape} (f64 golden)")
+    print(f"wrote {args.out}: {args.model} field {grad.shape} (f64 golden)")
     return 0
 
 
@@ -57,7 +62,7 @@ def cmd_check(args) -> int:
     mesh, var = _mesh_and_state(args)
     ref = netcdf3.read(args.ref)["gradients"]
     if args.backend == "golden":
-        got = _golden(mesh, var)
+        got = _golden(mesh, var, args.model)
         exact = bool((got == ref).all())
         print(f"golden vs {args.ref}: bitwise {'MATCH' if exact else 'MISMATCH'}")
         return 0 if exact else 1
@@ -67,7 +72,9 @@ def cmd_check(args) -> int:
     if args.backend == "pallas":
         from cfd_proxy_tpu.models import GreenGaussPallas
 
-        model = GreenGaussPallas(parts, args.nvar)
+        model = GreenGaussPallas(parts, args.nvar, op=args.model)
+    elif args.model == "flux":
+        raise SystemExit("--model flux requires --backend pallas")
     else:
         import jax
 
@@ -104,6 +111,7 @@ def main(argv=None) -> int:
         p.add_argument("--seed", type=int, default=0)
         p.add_argument("--jitter", type=float, default=0.05)
         p.add_argument("--diag-frac", type=float, default=0.2)
+        p.add_argument("--model", default="gg", choices=["gg", "flux"])
         if name == "dump":
             p.add_argument("--out", required=True)
         else:

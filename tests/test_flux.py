@@ -41,14 +41,15 @@ def test_flux_upwind_limit(mesh):
     np.testing.assert_allclose(res, want, rtol=1e-9, atol=1e-10)
 
 
+@pytest.mark.parametrize("kernel", ["packed", "gather"])
 @pytest.mark.parametrize("npart", [1, 4])
-def test_flux_model_matches_golden(mesh, npart):
+def test_flux_model_matches_golden(mesh, npart, kernel):
     gvar = make_state(mesh.npoint, NVAR, seed=7)
     gref = flux_residual_scale(
         compute_psd_flux(gvar.astype(np.float64), mesh.faces, mesh.normals),
         mesh.volume, mesh.npoint)
     parts = partition_mesh(mesh, npart)
-    model = PSDFluxModel(parts, NVAR, bp=128, interpret=True)
+    model = PSDFluxModel(parts, NVAR, bp=128, interpret=True, kernel=kernel)
     state = model.distribute_state(gvar)
     denom = max(1.0, np.abs(gref).max())
     outs = {}

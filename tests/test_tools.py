@@ -73,3 +73,14 @@ def test_kbench_interpret_smoke(capsys):
                       "--variants", "prod", "--check"])
     assert rc == 0
     assert "OK" in capsys.readouterr().out
+
+
+def test_golden_flux_model_roundtrip(tmp_path):
+    ref = str(tmp_path / "flux.nc")
+    assert golden_main(["dump", "--nx", "8", "--model", "flux",
+                        "--out", ref]) == 0
+    assert golden_main(["check", "--nx", "8", "--model", "flux",
+                        "--ref", ref]) == 0
+    assert golden_main(["check", "--nx", "8", "--model", "flux", "--ref", ref,
+                        "--backend", "pallas", "--parts", "2",
+                        "--schedule", "overlap"]) == 0
