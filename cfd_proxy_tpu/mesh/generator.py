@@ -74,14 +74,21 @@ def generate_mesh(
     N = nx * ny * nz
     h = float(spacing)
 
-    # z layer positions + per-layer dual extents (stretch == 1 → uniform h)
-    dz = h * np.power(float(stretch), np.arange(nz - 1))
-    zpos = np.concatenate([[0.0], np.cumsum(dz)])
-    dzdual = np.empty(nz)
-    dzdual[0] = dz[0] / 2
-    dzdual[-1] = dz[-1] / 2
-    if nz > 2:
-        dzdual[1:-1] = (dz[:-1] + dz[1:]) / 2
+    # z layer positions + per-layer dual extents.  stretch == 1 keeps the
+    # HISTORIC uniform convention bitwise (full-h duals everywhere, incl.
+    # boundaries — committed fixtures/goldens depend on it); stretch != 1
+    # uses the geometrically consistent half-extent boundary duals.
+    if stretch == 1.0:
+        zpos = np.arange(nz, dtype=np.float64) * h
+        dzdual = np.full(nz, h)
+    else:
+        dz = h * np.power(float(stretch), np.arange(nz - 1))
+        zpos = np.concatenate([[0.0], np.cumsum(dz)])
+        dzdual = np.empty(nz)
+        dzdual[0] = dz[0] / 2
+        dzdual[-1] = dz[-1] / 2
+        if nz > 2:
+            dzdual[1:-1] = (dz[:-1] + dz[1:]) / 2
 
     ii, jj, kk = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz), indexing="ij")
     coords = np.stack([ii * h, jj * h, zpos[kk]], axis=-1).reshape(N, 3)

@@ -58,3 +58,47 @@ def test_generator_valence_skew_and_determinism():
     assert (m1.faces[:, 0] < m1.faces[:, 1]).all()
     v = make_state(m1.npoint, 5, seed=0)
     assert v.shape == (m1.npoint, 5)
+
+
+def test_linear_field_exact_on_stretched_grid():
+    """Boundary-layer anisotropy (the F6-like mesh family): geometric z
+    stretching with consistent dual areas/volumes keeps the Green-Gauss
+    linear-field anchor exact at interior points, across a ~1e3 volume
+    dynamic range."""
+    m = generate_mesh(6, 5, 26, jitter=0.0, diag_frac=0.0, shuffle=True,
+                      seed=3, stretch=1.35)
+    ratio = m.volume.max() / m.volume.min()
+    assert ratio > 1e3, ratio
+    a = np.array([[1.5, -2.0, 0.25]])
+    var = (m.coords @ a.T)
+    grad = compute_gradients_gg(var, m.faces, m.normals)
+    grad = scale_gradients(grad, m.volume, m.npoint)
+    deg = np.bincount(m.faces.ravel(), minlength=m.npoint)
+    interior = deg == 6
+    assert interior.sum() > 10
+    np.testing.assert_allclose(grad[interior, 0, :],
+                               np.tile(a, (interior.sum(), 1)),
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_stretched_mesh_pallas_f32_stress():
+    """The f32 Pallas path on the anisotropic family: volume scaling spans
+    orders of magnitude; results stay within the documented f32 bound."""
+    from cfd_proxy_tpu.mesh.partition import partition_mesh
+    from cfd_proxy_tpu.models import GreenGaussPallas
+
+    m = generate_mesh(8, 7, 20, jitter=0.03, diag_frac=0.2, shuffle=True,
+                      seed=5, stretch=1.3)
+    var = make_state(m.npoint, 5, seed=6)
+    gref = scale_gradients(
+        compute_gradients_gg(var.astype(np.float64), m.faces, m.normals),
+        m.volume, m.npoint).reshape(m.npoint, -1)
+    parts = partition_mesh(m, 4)
+    model = GreenGaussPallas(parts, 5, bp=128, interpret=True)
+    got = model.gather_global(
+        np.asarray(model.step(model.distribute_state(var), "overlap")))
+    # entry-wise RELATIVE error with a sane floor: absolute max alone is
+    # meaningless across the volume dynamic range, and near-zero entries
+    # carry only f32 noise (measured: 3e-6 at this floor, 7e-8 vs global max)
+    denom = np.maximum(np.abs(gref), np.abs(gref).max() * 1e-2)
+    assert (np.abs(got - gref) / denom).max() < 1e-4
