@@ -57,6 +57,8 @@ class SolverConfig:
     dtype: str = "float32"
     diag_frac: float = 0.2
     jitter: float = 0.05
+    stretch: float = 1.0    # geometric z-spacing growth (boundary-layer
+                            # anisotropy, the F6-like mesh family)
     seed: int = 0
     verify: bool = True
     json_out: bool = False
@@ -86,7 +88,7 @@ def build_model(cfg: SolverConfig):
     else:
         gmesh = generate_mesh(
             cfg.nx, cfg.ny, cfg.nz, jitter=cfg.jitter, diag_frac=cfg.diag_frac,
-            seed=cfg.seed,
+            seed=cfg.seed, stretch=cfg.stretch,
         )
         parts = partition_mesh(gmesh, cfg.parts, ghost_layers=cfg.ghost_layers)
     if cfg.backend == "pallas":
@@ -332,6 +334,9 @@ def main(argv=None) -> int:
                     help="points per Pallas block (multiple of 128)")
     ap.add_argument("--dtype", default="float32", choices=["float32", "float64"])
     ap.add_argument("--diag-frac", type=float, default=0.2)
+    ap.add_argument("--stretch", type=float, default=1.0,
+                    help="geometric z-spacing growth ratio (boundary-layer "
+                         "anisotropy)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--no-verify", action="store_true")
     ap.add_argument("--json", action="store_true", help="emit one JSON line")
@@ -346,7 +351,7 @@ def main(argv=None) -> int:
         backend=args.backend, model=args.model, kernel=args.kernel,
         force_rdma=args.force_rdma, slice_size=args.slice_size,
         meta_dtype=args.meta_dtype, bp=args.bp, dtype=args.dtype,
-        diag_frac=args.diag_frac, seed=args.seed,
+        diag_frac=args.diag_frac, stretch=args.stretch, seed=args.seed,
         verify=not args.no_verify, json_out=args.json,
         profile_dir=args.profile_dir,
     )

@@ -27,6 +27,8 @@ def main(argv=None) -> int:
     ap.add_argument("--ghost-layers", type=int, default=1)
     ap.add_argument("--jitter", type=float, default=0.05)
     ap.add_argument("--diag-frac", type=float, default=0.2)
+    ap.add_argument("--stretch", type=float, default=1.0,
+                    help="geometric z-spacing growth (boundary-layer family)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", required=True, help="output file prefix")
     args = ap.parse_args(argv)
@@ -34,7 +36,8 @@ def main(argv=None) -> int:
     ny = args.ny or args.nx
     nz = args.nz or args.nx
     mesh = generate_mesh(args.nx, ny, nz, jitter=args.jitter,
-                         diag_frac=args.diag_frac, seed=args.seed)
+                         diag_frac=args.diag_frac, seed=args.seed,
+                         stretch=args.stretch)
     parts = partition_mesh(mesh, args.parts, ghost_layers=args.ghost_layers)
     for p in parts:
         path = partition_path(args.out, p.part_id, args.parts)
