@@ -60,6 +60,11 @@ class SolverConfig:
     stretch: float = 1.0    # geometric z-spacing growth (boundary-layer
                             # anisotropy, the F6-like mesh family)
     seed: int = 0
+    platform: str | None = None     # force a jax platform (e.g. cpu) before
+                                    # backend init — the TPU plugin ignores
+                                    # JAX_PLATFORMS, so "cpu" here is the
+                                    # only way to get the virtual multi-
+                                    # device mesh on a TPU host
     verify: bool = True
     json_out: bool = False
     profile_dir: str | None = None   # jax.profiler trace output (optional)
@@ -182,6 +187,13 @@ def time_schedule(
 def run(cfg: SolverConfig) -> tuple[dict, list[IterationStats]]:
     import jax
 
+    if cfg.platform:
+        try:
+            jax.config.update("jax_platforms", cfg.platform)
+        except RuntimeError as e:
+            raise SystemExit(
+                f"--platform {cfg.platform}: backend already initialised "
+                f"({e}); set it before any jax use") from e
     model, gmesh = build_model(cfg)
     nface_total = sum(p.nface for p in model.parts)
     npoint_total = sum(p.nowned for p in model.parts)
@@ -342,6 +354,11 @@ def main(argv=None) -> int:
     ap.add_argument("--json", action="store_true", help="emit one JSON line")
     ap.add_argument("--profile", dest="profile_dir", default=None,
                     help="write a jax.profiler trace to this directory")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform before backend init (e.g. "
+                         "cpu with XLA_FLAGS=--xla_force_host_platform_"
+                         "device_count=8 for the virtual multi-device mesh "
+                         "on a TPU host)")
     args = ap.parse_args(argv)
 
     cfg = SolverConfig(
@@ -352,6 +369,7 @@ def main(argv=None) -> int:
         force_rdma=args.force_rdma, slice_size=args.slice_size,
         meta_dtype=args.meta_dtype, bp=args.bp, dtype=args.dtype,
         diag_frac=args.diag_frac, stretch=args.stretch, seed=args.seed,
+        platform=args.platform,
         verify=not args.no_verify, json_out=args.json,
         profile_dir=args.profile_dir,
     )

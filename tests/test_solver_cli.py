@@ -36,3 +36,15 @@ def test_cli_flux_requires_pallas():
     with pytest.raises(SystemExit) as e:
         main(["--model", "flux", "--backend", "xla", "--nx", "8"])
     assert "pallas" in str(e.value)
+
+
+def test_platform_flag_cpu_multi_part():
+    """--platform cpu is the only way to get the virtual multi-device mesh
+    on a TPU host (the plugin ignores JAX_PLATFORMS); exercise the flag on
+    a multi-part run."""
+    from cfd_proxy_tpu.solver import SolverConfig, run
+
+    cfg = SolverConfig(nx=6, ny=6, nz=6, parts=4, iters=1, warmup=0,
+                       schedule="early", platform="cpu", verify=True)
+    results, _ = run(cfg)
+    assert results["verification"]["early_vs_bulk_maxabs"] < 1e-4
