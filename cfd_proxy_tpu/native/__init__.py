@@ -35,9 +35,21 @@ def lib():
     L = _bind(_SO)
     if L is None:
         # stale .so from an older checkout (missing newer symbols): rebuild
-        # once, then give up gracefully — the NumPy paths are equivalent
+        # once, then give up gracefully — the NumPy paths are equivalent.
+        # dlopen dedups by pathname/inode and ctypes never dlcloses, so the
+        # rebuilt library must be loaded through a FRESH temp copy
         _make()
-        L = _bind(_SO)
+        try:
+            import shutil
+            import tempfile
+
+            tmp = tempfile.NamedTemporaryFile(
+                prefix="libcfdprep-", suffix=".so", delete=False)
+            tmp.close()
+            shutil.copy2(_SO, tmp.name)
+            L = _bind(tmp.name)
+        except OSError:
+            L = None
     return L
 
 

@@ -269,6 +269,23 @@ def out_rows(op: str) -> int:
     return 3 * NV if op == "gg" else NV
 
 
+def _masked_gather(tbl, idx, npass):
+    """Gather one 128-lane tile from the (NV, W) block table: W spans npass
+    vregs, Mosaic's dynamic_gather shuffles within ONE vreg, so the gather
+    decomposes into npass compare+gather+select passes with the vreg id
+    (idx>>7) / in-vreg offset (idx&127) hoisted out of the pass loop.
+    Shared by the GATHER sweep kernels and the pack_srcs re-pack — the
+    W-index layout must stay identical between them."""
+    hi = jnp.broadcast_to((idx >> 7)[None, :], (NV, LANE))
+    lo = jnp.broadcast_to((idx & 127)[None, :], (NV, LANE))
+    gat = jnp.zeros((NV, LANE), jnp.float32)
+    for j in range(npass):
+        tbl_j = tbl[:, j * LANE : (j + 1) * LANE]
+        g_j = jnp.take_along_axis(tbl_j, lo, axis=1)
+        gat = jnp.where(hi == j, g_j, gat)
+    return gat
+
+
 def _block_compute(bp: int, ep: int, kslots: int, accumulate: bool, op: str):
     """Shared per-block compute body (used by the sweep and overlap kernels)."""
     npass = (bp + ep) // LANE
@@ -292,15 +309,7 @@ def _block_compute(bp: int, ep: int, kslots: int, accumulate: bool, op: str):
                 acc = jnp.zeros((rows, LANE), jnp.float32)
             for k in range(kslots):
                 idx = sidx_ref[0, k, t * LANE : (t + 1) * LANE]   # (128,)
-                # hoist the vreg id / in-vreg offset out of the pass loop:
-                # per pass only a compare + gather + select remain
-                hi = jnp.broadcast_to((idx >> 7)[None, :], (NV, LANE))
-                lo = jnp.broadcast_to((idx & 127)[None, :], (NV, LANE))
-                gat = jnp.zeros((NV, LANE), jnp.float32)
-                for j in range(npass):
-                    tbl_j = tbl[:, j * LANE : (j + 1) * LANE]
-                    g_j = jnp.take_along_axis(tbl_j, lo, axis=1)
-                    gat = jnp.where(hi == j, g_j, gat)
+                gat = _masked_gather(tbl, idx, npass)
                 wk = sw_ref[0, k, :, t * LANE : (t + 1) * LANE].astype(
                     jnp.float32)                                  # (3, 128)
                 if op == "gg":
@@ -691,14 +700,8 @@ def pack_srcs(
         for t in range(ntile):
             for k in range(kslots):
                 idx = sidx_ref[0, k, t * LANE : (t + 1) * LANE]
-                hi = jnp.broadcast_to((idx >> 7)[None, :], (NV, LANE))
-                lo = jnp.broadcast_to((idx & 127)[None, :], (NV, LANE))
-                gat = jnp.zeros((NV, LANE), jnp.float32)
-                for j in range(npass):
-                    tbl_j = tbl[:, j * LANE : (j + 1) * LANE]
-                    g_j = jnp.take_along_axis(tbl_j, lo, axis=1)
-                    gat = jnp.where(hi == j, g_j, gat)
-                out_ref[0, k, :, t * LANE : (t + 1) * LANE] = gat
+                out_ref[0, k, :, t * LANE : (t + 1) * LANE] = \
+                    _masked_gather(tbl, idx, npass)
 
     def bid(i, bids):
         return bids[i]

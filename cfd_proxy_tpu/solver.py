@@ -188,12 +188,16 @@ def run(cfg: SolverConfig) -> tuple[dict, list[IterationStats]]:
     import jax
 
     if cfg.platform:
-        try:
-            jax.config.update("jax_platforms", cfg.platform)
-        except RuntimeError as e:
+        # jax silently IGNORES jax_platforms updates once the backend is
+        # initialised — verify the request actually took effect rather than
+        # proceeding on the wrong platform
+        jax.config.update("jax_platforms", cfg.platform)
+        got = jax.default_backend()
+        if got != cfg.platform:
             raise SystemExit(
-                f"--platform {cfg.platform}: backend already initialised "
-                f"({e}); set it before any jax use") from e
+                f"--platform {cfg.platform} did not take effect (backend is "
+                f"{got!r} — jax was already initialised in this process; "
+                f"set the platform before any jax use)")
     model, gmesh = build_model(cfg)
     nface_total = sum(p.nface for p in model.parts)
     npoint_total = sum(p.nowned for p in model.parts)

@@ -60,7 +60,13 @@ def cmd_dump(args) -> int:
 
 def cmd_check(args) -> int:
     mesh, var = _mesh_and_state(args)
-    ref = netcdf3.read(args.ref)["gradients"]
+    ds = netcdf3.read(args.ref)
+    ref_model = ds.attrs.get("model", "gg")   # pre-flux dumps are gg
+    if ref_model != args.model:
+        raise SystemExit(
+            f"{args.ref} was dumped with --model {ref_model}; rerun check "
+            f"with --model {ref_model} (got {args.model})")
+    ref = ds["gradients"]
     if args.backend == "golden":
         got = _golden(mesh, var, args.model)
         exact = bool((got == ref).all())
