@@ -120,6 +120,7 @@ class GreenGaussPallas:
         force_rdma: bool = False,
         slice_size: int | None = None,
         meta_dtype: str = "float32",
+        min_phases: int = 1,
     ):
         if interpret is None:
             # Mosaic compiles only for TPU; interpret elsewhere (CPU tests)
@@ -159,7 +160,7 @@ class GreenGaussPallas:
         topo = build_halo_topology(self.parts, npoint_pad,
                                    slice_size=slice_size)
         self.topology = topo
-        lay = build_tlayout(self.parts, topo, bp=bp)
+        lay = build_tlayout(self.parts, topo, bp=bp, min_phases=min_phases)
         self.layout = lay
 
         if devices is None:

@@ -62,12 +62,17 @@ class TLayout:
 
 
 def build_tlayout(
-    parts: list[MeshPartition], topo: HaloTopology, *, bp: int = 256
+    parts: list[MeshPartition], topo: HaloTopology, *, bp: int = 256,
+    min_phases: int = 1,
 ) -> TLayout:
+    """min_phases: pad the schedule with extra self-send phases (each is a
+    full self-permutation of masked zeros) — used to exercise the fused RDMA
+    kernel's multi-phase semaphore arrays on a single real chip, where the
+    natural phase count is 1."""
     P = len(parts)
     owned_pad = round_up(max(p.nowned for p in parts), bp)
     s_max = round_up(max(topo.max_phase_size(), 1), LANE)
-    nphases = max(topo.nphases, 1)
+    nphases = max(topo.nphases, 1, int(min_phases))
     # +bp: a dedicated trailing TRASH block that no real point maps to — the
     # safe target for padded grid entries (revisiting a real block from a pad
     # entry races with pipelined block prefetch)

@@ -175,3 +175,18 @@ def test_pallas_slice_aware_matches(mesh, gvar, gref):
     # phase REORDERING may regroup ghost regions; owned results must agree
     # to kernel-compilation noise
     assert np.abs(outs[4] - outs[None]).max() / denom < 1e-6
+
+
+def test_min_phases_multi_self_send(mesh, gvar):
+    """min_phases pads the schedule with full self-permutations; the fused
+    RDMA overlap with 3 phases must equal the single-phase result bitwise on
+    owned columns (exercises the multi-phase semaphore arrays)."""
+    parts = partition_mesh(mesh, 1)
+    multi = GreenGaussPallas(parts, NVAR, bp=128, interpret=True,
+                             force_rdma=True, min_phases=3)
+    plain = GreenGaussPallas(parts, NVAR, bp=128, interpret=True)
+    assert multi.layout.nphases == 3
+    ga = np.asarray(multi.step(multi.distribute_state(gvar), "overlap"))
+    gb = np.asarray(plain.step(plain.distribute_state(gvar), "overlap"))
+    n = multi.layout.owned_pad
+    np.testing.assert_array_equal(ga[:, :, :n], gb[:, :, :n])
