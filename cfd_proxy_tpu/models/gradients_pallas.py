@@ -120,6 +120,7 @@ class GreenGaussPallas:
         force_rdma: bool = False,
         slice_size: int | None = None,
         meta_dtype: str = "float32",
+        src_dtype: str = "float32",
         min_phases: int = 1,
     ):
         if interpret is None:
@@ -142,6 +143,18 @@ class GreenGaussPallas:
         check(meta_dtype in ("float32", "bfloat16"),
               "meta_dtype must be float32|bfloat16, got %r", meta_dtype)
         self.meta_dtype = meta_dtype
+        # bf16 DELTA-packed slot sources (--src-dtype bfloat16) halve the
+        # dominant srcs stream — measured ~17% faster at 2.8M faces (paired
+        # kbench, BASELINE.md).  Deltas src−own keep the gradient's relative
+        # error ~1e-3 (the Green-Gauss signal is the neighbor delta; see
+        # ops/blocksweep.py::_block_compute_packed).  Packed kernel only —
+        # the gather formulation reads f32 state tables in-kernel.
+        check(src_dtype in ("float32", "bfloat16"),
+              "src_dtype must be float32|bfloat16, got %r", src_dtype)
+        check(src_dtype == "float32" or self.packed,
+              "--src-dtype bfloat16 requires the packed kernel")
+        self.src_dtype = src_dtype
+        self.src_format = "bf16d" if src_dtype == "bfloat16" else "f32"
         check(nvar <= NV, "nvar %d > padded NV %d", nvar, NV)
         # the flux kernel reads var[:3] as the velocity vector; with fewer
         # vars the padded zero rows would silently stand in for velocity
@@ -316,7 +329,8 @@ class GreenGaussPallas:
                         pa["exts"] = exts
                         outs.append(pack_srcs(
                             v[0], pa, bp=self.bp, ep=ep, kslots=ks,
-                            nblocks=nb, interpret=self.interpret)[None])
+                            nblocks=nb, interpret=self.interpret,
+                            src_format=self.src_format)[None])
                     else:
                         outs.append(exts[None])
                 return tuple(outs)
@@ -344,7 +358,7 @@ class GreenGaussPallas:
         return sweep_blocks(
             var_T, pa, bp=self.bp, ep=ep, kslots=ks, nblocks=nb,
             init=init, interpret=self.interpret, op=self.op,
-            packed=self.packed,
+            packed=self.packed, src_format=self.src_format,
         )
 
     def _exchange_start(self, g, send_idx, send_mask):
@@ -400,7 +414,7 @@ class GreenGaussPallas:
                         v, pa, bp=self.bp, ep=ep, kslots=ks, nblocks=nb,
                         init=gb, sendbufs=sendbufs, dsts=dsts[0], srcs=srcs[0],
                         interpret=self.interpret, op=self.op,
-                        packed=self.packed,
+                        packed=self.packed, src_format=self.src_format,
                     )
                     for k in range(lay.nphases):
                         g = jax.lax.dynamic_update_slice(

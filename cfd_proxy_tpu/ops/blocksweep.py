@@ -329,7 +329,8 @@ def _block_compute(bp: int, ep: int, kslots: int, accumulate: bool, op: str):
     return compute
 
 
-def _block_compute_packed(bp: int, kslots: int, accumulate: bool, op: str):
+def _block_compute_packed(bp: int, kslots: int, accumulate: bool, op: str,
+                          src_format: str = "f32"):
     """Per-block compute for the PACKED formulation: sources pre-gathered
     into src_ref (1, K, NV, BP) — pure stream + FMA, no in-kernel gathers.
 
@@ -338,7 +339,15 @@ def _block_compute_packed(bp: int, kslots: int, accumulate: bool, op: str):
 
     slot_w may arrive in bf16 (--meta-dtype bf16: halves the weight stream;
     ~1e-3 relative error bound, see models/gradients_pallas.py) — weights
-    are upcast to f32 before the FMA either way."""
+    are upcast to f32 before the FMA either way.
+
+    src_format "bf16d" stores DELTAS src−own in bf16 (--src-dtype bfloat16):
+    the srcs stream — the largest of the kernel's streams — halves, measured
+    ~17% faster end to end (paired kbench, BASELINE.md).  Deltas rather than
+    raw values because the Green-Gauss signal IS the neighbor delta (the
+    own·Σw term cancels over closed dual cells), so bf16 rounding scales
+    with |src−own| and the gradient keeps a ~1e-3 relative bound instead of
+    the ~1e-2 that bf16 raw state would give."""
     rows = out_rows(op)
 
     def compute(own_ref, src_ref, sw_ref, scale_ref, init_ref, out_ref):
@@ -348,12 +357,20 @@ def _block_compute_packed(bp: int, kslots: int, accumulate: bool, op: str):
         else:
             acc = jnp.zeros((rows, bp), jnp.float32)
         for k in range(kslots):
-            gat = src_ref[0, k]                               # (NV, bp)
+            if src_format == "bf16d":
+                delta = src_ref[0, k].astype(jnp.float32)     # src − own
+            else:
+                gat = src_ref[0, k]                           # (NV, bp)
             wk = sw_ref[0, k].astype(jnp.float32)             # (3, bp)
             if op == "gg":
-                avg = 0.5 * (own + gat)
+                if src_format == "bf16d":
+                    avg = own + 0.5 * delta
+                else:
+                    avg = 0.5 * (own + gat)
                 acc = acc + (wk[:, None, :] * avg[None, :, :]).reshape(rows, bp)
             else:  # upwind flux (ops/flux.py directed-slot form)
+                if src_format == "bf16d":
+                    gat = own + delta
                 udw = jnp.sum(own[:3] * wk, axis=0)           # (bp,)
                 uow = jnp.sum(gat[:3] * wk, axis=0)
                 a = jnp.maximum(jnp.abs(udw), jnp.abs(uow))
@@ -365,9 +382,10 @@ def _block_compute_packed(bp: int, kslots: int, accumulate: bool, op: str):
 
 
 def _sweep_kernel(bp: int, ep: int, kslots: int, accumulate: bool, op: str,
-                  packed: bool):
+                  packed: bool, src_format: str = "f32"):
     if packed:
-        compute = _block_compute_packed(bp, kslots, accumulate, op)
+        compute = _block_compute_packed(bp, kslots, accumulate, op,
+                                        src_format)
 
         def kernel(bids_ref, own_ref, src_ref, sw_ref, scale_ref, *rest):
             if accumulate:
@@ -404,19 +422,21 @@ def sweep_blocks(
     interpret: bool = False,
     op: str = "gg",                  # "gg" gradients | "flux" upwind flux
     packed: bool = False,            # PACKED formulation (see module doc)
+    src_format: str = "f32",         # f32 | bf16d (bf16 deltas; packed only)
 ) -> jax.Array:
     """Run the block sweep; returns (out_rows(op), npoint_dev).
 
     plan_arrays keys: block_ids (nblocks,), slot_w, scale, plus per
     formulation: gather — exts (nblocks, NV, EP) pre-gathered ext columns +
-    slot_idx; packed — srcs (nblocks, K, NV, BP) pre-gathered slot sources.
-    Both pre-gathers are setup-time (var is static across benchmark
-    iterations; see models/gradients.py).
+    slot_idx; packed — srcs (nblocks, K, NV, BP) pre-gathered slot sources
+    (f32 values, or bf16 deltas vs own for src_format="bf16d").  Both
+    pre-gathers are setup-time (var is static across benchmark iterations;
+    see models/gradients.py).
     """
     npoint_dev = var_T.shape[1]
     accumulate = init is not None
     rows = out_rows(op)
-    kernel = _sweep_kernel(bp, ep, kslots, accumulate, op, packed)
+    kernel = _sweep_kernel(bp, ep, kslots, accumulate, op, packed, src_format)
 
     def bid(i, bids):
         return bids[i]
@@ -504,6 +524,7 @@ def sweep_blocks_overlap(
     interpret: bool = False,
     op: str = "gg",
     packed: bool = False,
+    src_format: str = "f32",
 ) -> tuple[jax.Array, jax.Array]:
     """FUSED interior sweep + one-sided halo push — the GASPI analogue.
 
@@ -521,7 +542,8 @@ def sweep_blocks_overlap(
     rows = out_rows(op)
     nph = int(sendbufs.shape[0])
     if packed:
-        compute_packed = _block_compute_packed(bp, kslots, True, op)
+        compute_packed = _block_compute_packed(bp, kslots, True, op,
+                                               src_format)
     else:
         compute_gather = _block_compute(bp, ep, kslots, True, op)
 
@@ -686,22 +708,30 @@ def pack_srcs(
     kslots: int,
     nblocks: int,
     interpret: bool = False,
+    src_format: str = "f32",
 ) -> jax.Array:
     """Pallas source re-pack for the PACKED formulation: gather each slot's
     source VALUES into (nblocks, K, NV, BP) using the same in-VMEM masked
     multi-pass machinery as the GATHER sweep — but writing values instead of
     accumulating.  One state update costs ~a sweep instead of XLA's slow
-    gather; exts are the (small, RCB-local) pre-gathered ext columns."""
+    gather; exts are the (small, RCB-local) pre-gathered ext columns.
+
+    src_format "bf16d" writes bf16 DELTAS gathered−own instead (the
+    --src-dtype bfloat16 stream-halving option; see _block_compute_packed)."""
     ntile = bp // LANE
     npass = (bp + ep) // LANE
+    out_dtype = jnp.bfloat16 if src_format == "bf16d" else jnp.float32
 
     def kernel(bids_ref, own_ref, ext_ref, sidx_ref, out_ref):
         tbl = jnp.concatenate([own_ref[:], ext_ref[0]], axis=1)  # (NV, W)
         for t in range(ntile):
+            own_tile = own_ref[:, t * LANE : (t + 1) * LANE]
             for k in range(kslots):
                 idx = sidx_ref[0, k, t * LANE : (t + 1) * LANE]
-                out_ref[0, k, :, t * LANE : (t + 1) * LANE] = \
-                    _masked_gather(tbl, idx, npass)
+                gat = _masked_gather(tbl, idx, npass)
+                if src_format == "bf16d":
+                    gat = (gat - own_tile).astype(jnp.bfloat16)
+                out_ref[0, k, :, t * LANE : (t + 1) * LANE] = gat
 
     def bid(i, bids):
         return bids[i]
@@ -725,7 +755,23 @@ def pack_srcs(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nblocks, kslots, NV, bp),
-                                       jnp.float32),
+                                       out_dtype),
         interpret=interpret,
     )(plan_arrays["block_ids"], var_T, plan_arrays["exts"],
       plan_arrays["slot_idx"])
+
+
+def srcs_to_format(srcs: jax.Array, var_T: jax.Array, block_ids: jax.Array,
+                   bp: int, src_format: str) -> jax.Array:
+    """XLA reference for pack_srcs' output formats: convert f32 slot sources
+    (nblocks, K, NV, BP) to src_format ("f32" passthrough, or "bf16d" = bf16
+    deltas vs the destination block's own columns).  Used by tests and the
+    kbench microbench; production re-packs go through pack_srcs."""
+    if src_format == "f32":
+        return srcs
+    check(src_format == "bf16d", "unknown src_format %r", src_format)
+    cols = block_ids.astype(jnp.int32)[:, None] * bp + jnp.arange(
+        bp, dtype=jnp.int32)[None, :]                       # (nblocks, BP)
+    own = jnp.moveaxis(jnp.take(var_T, cols.reshape(-1), axis=1).reshape(
+        var_T.shape[0], *cols.shape), 0, 1)                 # (nblocks, NV, BP)
+    return (srcs - own[:, None, :, :]).astype(jnp.bfloat16)

@@ -52,6 +52,9 @@ class SolverConfig:
                                     # inter-slice (DCN) ones
     meta_dtype: str = "float32"     # bfloat16 halves the slot-weight stream
                                     # (~1e-3 rel error bound; BASELINE.md)
+    src_dtype: str = "float32"      # bfloat16 = delta-packed bf16 slot
+                                    # sources: srcs stream halves, ~17%
+                                    # faster, ~1e-3 rel bound (BASELINE.md)
     bp: int = 1024              # points per Pallas block — the thread-config
                                 # analogue (reference: pthread count sweeps)
     dtype: str = "float32"
@@ -104,7 +107,8 @@ def build_model(cfg: SolverConfig):
         model = GreenGaussPallas(parts, cfg.nvar, op=cfg.model, bp=cfg.bp,
                                  kernel=cfg.kernel, force_rdma=cfg.force_rdma,
                                  slice_size=cfg.slice_size,
-                                 meta_dtype=cfg.meta_dtype)
+                                 meta_dtype=cfg.meta_dtype,
+                                 src_dtype=cfg.src_dtype)
     else:
         if cfg.model != "gg":
             raise SystemExit("--model flux requires --backend pallas")
@@ -214,6 +218,7 @@ def run(cfg: SolverConfig) -> tuple[dict, list[IterationStats]]:
         "nface": nface_total,
         "nvar": cfg.nvar,
         "dtype": cfg.dtype,
+        "src_dtype": cfg.src_dtype,
         "backend": cfg.backend,
         "iters": cfg.iters,
         "schedules": {},
@@ -346,6 +351,11 @@ def main(argv=None) -> int:
     ap.add_argument("--meta-dtype", default="float32",
                     choices=["float32", "bfloat16"],
                     help="slot-weight precision (bfloat16: ~1e-3 rel bound)")
+    ap.add_argument("--src-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="packed slot-source precision (bfloat16: delta-"
+                         "packed, srcs stream halves, ~17%% faster, ~1e-3 "
+                         "rel bound — BASELINE.md)")
     ap.add_argument("--bp", type=int, default=1024,
                     help="points per Pallas block (multiple of 128)")
     ap.add_argument("--dtype", default="float32", choices=["float32", "float64"])
@@ -371,7 +381,8 @@ def main(argv=None) -> int:
         iters=args.iters, warmup=args.warmup, schedule=args.schedule,
         backend=args.backend, model=args.model, kernel=args.kernel,
         force_rdma=args.force_rdma, slice_size=args.slice_size,
-        meta_dtype=args.meta_dtype, bp=args.bp, dtype=args.dtype,
+        meta_dtype=args.meta_dtype, src_dtype=args.src_dtype,
+        bp=args.bp, dtype=args.dtype,
         diag_frac=args.diag_frac, stretch=args.stretch, seed=args.seed,
         platform=args.platform,
         verify=not args.no_verify, json_out=args.json,

@@ -9,11 +9,27 @@ the gap to the streaming memory floor (BASELINE.md):
     wsum     production math with the own-side term hoisted out of the slot
              loop (25% fewer VPU ops; splits the own term per class so it is
              NOT schedule-composition-exact — measurement only)
+    nv7      pad-drop experiment: var/srcs carry 7 sublane rows (nvar) instead
+             of the 8-row tile, out 21 rows — streams 7/8 of the srcs/var/out
+             bytes (VMEM pads internally; HBM does not).  MEASURED 30% SLOWER
+             (paired, median ratio prod/nv7 = 0.774, IQR 0.770-0.784):
+             off-tile sublane counts cost more in DMA/relayout than the
+             stream saving — dead end, do not productionize
+    bf16src  the production --src-dtype bfloat16 path: DELTA-packed bf16
+             sources (src−own), upcast in-kernel — halves the dominant srcs
+             stream (~27% of total bytes); measured 17% faster (paired
+             median ratio 1.17, BASELINE.md); ~1e-3 rel accuracy bound
 
 Timing uses the two-point chained-loop method (solver.time_schedule): the
 axon tunnel's block_until_ready does not wait and dispatch costs ~30 ms.
 
+`--paired A,B` interleaves two-point samples of the two variants in
+alternating order (A,B then B,A, ...) and reports the median of per-pair
+time ratios: linear drift in host/HBM load cancels to first order, which
+makes ~10% levers decidable under this chip's ±8-15% run-to-run noise.
+
 Usage:  python -m cfd_proxy_tpu.tools.kbench --nx 96 --variants prod,stream
+        python -m cfd_proxy_tpu.tools.kbench --paired prod,nv7 --repeats 12
 """
 
 from __future__ import annotations
@@ -30,6 +46,11 @@ def main(argv=None) -> int:
     ap.add_argument("--bp", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--variants", default="prod,stream,wsum")
+    ap.add_argument("--paired", default=None, metavar="A,B",
+                    help="interleaved paired comparison of two variants "
+                         "(drift-cancelling; see module doc)")
+    ap.add_argument("--repeats", type=int, default=10,
+                    help="paired-mode sample pairs")
     ap.add_argument("--check", action="store_true",
                     help="validate the prod kernel's output against the f64 "
                          "golden via an on-device abs-sum fingerprint")
@@ -42,7 +63,8 @@ def main(argv=None) -> int:
 
     from cfd_proxy_tpu.mesh.generator import generate_mesh, make_state
     from cfd_proxy_tpu.ops.blocksweep import (
-        LANE, NV, build_block_plan, gather_srcs, slot_src_cols, sweep_blocks,
+        LANE, NV, build_block_plan, gather_srcs, slot_src_cols,
+        srcs_to_format, sweep_blocks,
     )
 
     interpret = jax.default_backend() != "tpu"
@@ -124,35 +146,103 @@ def main(argv=None) -> int:
         return sweep_blocks(v, pa, bp=bp, ep=plan.ep, kslots=K, nblocks=nb,
                             interpret=interpret, packed=True)
 
+    # ---- nv7 pad-drop experiment: 7 sublane rows end to end ------------
+    nv7 = 7
+    var7 = var_T[:nv7]
+    pa7 = dict(pa)
+    pa7["srcs"] = jax.jit(lambda s: s[:, :, :nv7, :].copy())(pa["srcs"])
+
+    def nv7_kernel(bids, own_ref, src_ref, sw_ref, scale_ref, out_ref):
+        own = own_ref[:]                                      # (7, bp)
+        acc = jnp.zeros((3 * nv7, bp), jnp.float32)
+        for k in range(K):
+            gat = src_ref[0, k]
+            wk = sw_ref[0, k]
+            avg = 0.5 * (own + gat)
+            acc = acc + (wk[:, None, :] * avg[None, :, :]).reshape(
+                3 * nv7, bp)
+        out_ref[:] = acc * scale_ref[0, 0][None, :]
+
+    def nv7_fn(v, pa):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((nv7, bp), lambda i, bids: (0, bids[i]),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K, nv7, bp), lambda i, bids: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K, 3, bp), lambda i, bids: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, bp), lambda i, bids: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((3 * nv7, bp),
+                                   lambda i, bids: (0, bids[i]),
+                                   memory_space=pltpu.VMEM))
+        return pl.pallas_call(
+            nv7_kernel, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((3 * nv7, npoint_dev),
+                                           jnp.float32),
+            interpret=interpret,
+        )(pa["block_ids"], v, pa["srcs"], pa["slot_w"], pa["scale"])
+
+    # ---- bf16src: the production --src-dtype bfloat16 path (bf16 deltas,
+    # sweep_blocks src_format="bf16d") — first measured here as raw-bf16
+    # sources (same streams/op count; ratio 1.17 over prod, BASELINE.md)
+    pa_bf = dict(pa)
+    pa_bf["srcs"] = jax.jit(
+        lambda s, v, b: srcs_to_format(s, v, b, bp, "bf16d")
+    )(pa["srcs"], var_T, pa["block_ids"])
+
+    def bf16src_fn(v, pa):
+        return sweep_blocks(v, pa, bp=bp, ep=plan.ep, kslots=K, nblocks=nb,
+                            interpret=interpret, packed=True,
+                            src_format="bf16d")
+
     variants = {
-        "prod": prod_fn,
-        "stream": call(stream_kernel),
-        "wsum": call(wsum_kernel),
+        "prod": (prod_fn, var_T, pa),
+        "stream": (call(stream_kernel), var_T, pa),
+        "wsum": (call(wsum_kernel), var_T, pa),
+        "nv7": (nv7_fn, var7, pa7),
+        "bf16src": (bf16src_fn, var_T, pa_bf),
     }
 
-    def timed(fn):
+    def sampler(name):
+        """Compile a variant's chained-loop runners; return a function that
+        takes one two-point sample (seconds/iteration, NaN below floor)."""
+        fn, v0, pargs = variants[name]
+
         @jax.jit
         def run(n, v, pa):
             def body(_i, vv):
                 g = fn(vv, pa)
-                return vv + 1e-30 * g[:NV]
+                return vv + 1e-30 * g[: vv.shape[0]]
             return jax.lax.fori_loop(0, n, body, v)
 
         def sync(n):
-            return float(np.asarray(run(n, var_T, pa)[0, 0]))
+            return float(np.asarray(run(n, v0, pargs)[0, 0]))
 
         n0 = max(1, args.iters // 10)
         sync(n0)
         sync(n0 + args.iters)  # compiles
-        best = float("inf")
-        for _ in range(3):
+
+        def sample():
             t0 = time.perf_counter(); sync(n0 + args.iters)
             tb = time.perf_counter() - t0
             t0 = time.perf_counter(); sync(n0)
             ts = time.perf_counter() - t0
-            if tb - ts > 0.05 * tb:
-                best = min(best, (tb - ts) / args.iters)
-        return best
+            diff = tb - ts
+            if diff < 0.05 * tb:
+                return float("nan")
+            return diff / args.iters
+
+        return sample
+
+    def timed(name):
+        s = sampler(name)
+        vals = [s() for _ in range(3)]
+        vals = [v for v in vals if np.isfinite(v)]
+        return min(vals) if vals else float("inf")
 
     rc = 0
     if args.check:
@@ -173,8 +263,34 @@ def main(argv=None) -> int:
         if not ok:
             rc = 1
 
+    if args.paired:
+        a, b = args.paired.split(",")
+        sa, sb = sampler(a), sampler(b)
+        ratios, ta_all, tb_all = [], [], []
+        for r in range(args.repeats):
+            if r % 2 == 0:
+                ta = sa(); tb = sb()
+            else:
+                tb = sb(); ta = sa()
+            if np.isfinite(ta) and np.isfinite(tb):
+                ratios.append(ta / tb)
+                ta_all.append(ta); tb_all.append(tb)
+                print(f"  pair {r:2d}: {a} {ta*1e3:7.3f} ms  "
+                      f"{b} {tb*1e3:7.3f} ms  ratio {ta/tb:.4f}", flush=True)
+        if not ratios:
+            print("paired: every sample below the dispatch-noise floor")
+            return 1
+        ratios = np.array(ratios)
+        med = float(np.median(ratios))
+        q1, q3 = np.percentile(ratios, [25, 75])
+        print(f"paired {a}/{b}: median ratio {med:.4f}  IQR "
+              f"[{q1:.4f}, {q3:.4f}]  n={len(ratios)}")
+        print(f"  {a}: median {np.median(ta_all)*1e3:.3f} ms  "
+              f"{b}: median {np.median(tb_all)*1e3:.3f} ms")
+        return rc
+
     for name in args.variants.split(","):
-        t = timed(variants[name])
+        t = timed(name)
         if not np.isfinite(t):
             print(f"{name:8s} below dispatch-noise floor — rerun with a "
                   f"larger --iters/--nx", flush=True)

@@ -88,6 +88,50 @@ def test_bf16_meta_dtype_bounded(mesh, gvar, gref):
     assert 1e-7 < err < 1e-3, err   # must differ from f32 yet stay bounded
 
 
+def test_bf16_src_dtype_bounded(mesh, gvar, gref):
+    """--src-dtype bfloat16 (delta-packed sources): the dominant srcs stream
+    halves (~17% measured speedup, BASELINE.md).  Deltas src−own keep the
+    error proportional to the neighbor delta — the actual Green-Gauss
+    signal — so the relative bound stays ~1e-3."""
+    parts = partition_mesh(mesh, 4)
+    model = GreenGaussPallas(parts, NVAR, bp=128, interpret=True,
+                             src_dtype="bfloat16")
+    state = model.distribute_state(gvar)
+    outs = {s: np.asarray(model.step(state, s))
+            for s in ("bulk", "early", "overlap")}
+    got = model.gather_global(outs["bulk"])
+    denom = max(1.0, np.abs(gref).max())
+    err = np.abs(got - gref).max() / denom
+    # measured 3.1e-3 on this mesh: each delta carries bf16's ~4e-3 unit
+    # roundoff and the max-norm keeps the worst point
+    assert 1e-7 < err < 5e-3, err   # must differ from f32 yet stay bounded
+    # schedule equivalence holds in bf16d too: every class packs deltas from
+    # the same var_T (identical rounding), accumulation order unchanged
+    scale = max(1.0, np.abs(outs["bulk"]).max())
+    assert np.abs(outs["early"] - outs["bulk"]).max() / scale < 1e-6
+    assert np.abs(outs["overlap"] - outs["early"]).max() / scale < 1e-6
+
+
+def test_bf16_src_dtype_flux(mesh, gvar):
+    """The flux kernel reconstructs gat = own + delta; bounded vs the f32
+    flux model."""
+    parts = partition_mesh(mesh, 2)
+    outs = {}
+    for sd in ("float32", "bfloat16"):
+        m = GreenGaussPallas(parts, NVAR, bp=128, interpret=True, op="flux",
+                             src_dtype=sd)
+        outs[sd] = np.asarray(m.step(m.distribute_state(gvar), "bulk"))
+    scale = max(1.0, np.abs(outs["float32"]).max())
+    err = np.abs(outs["bfloat16"] - outs["float32"]).max() / scale
+    assert 0 < err < 5e-3, err
+
+
+def test_bf16_src_requires_packed(mesh):
+    with pytest.raises(Exception, match="packed"):
+        GreenGaussPallas(partition_mesh(mesh, 1), NVAR, bp=128, interpret=True,
+                         kernel="gather", src_dtype="bfloat16")
+
+
 def test_packed_matches_gather_kernel(mesh, gvar):
     """The two sweep formulations (pre-gathered sources vs in-kernel gathers)
     agree to FMA-contraction noise — the cross-check of kernel strategies
