@@ -126,6 +126,20 @@ def test_bf16_src_dtype_flux(mesh, gvar):
     assert 0 < err < 5e-3, err
 
 
+def test_reduced_precision_combined(mesh, gvar, gref):
+    """--src-dtype bfloat16 --meta-dtype bfloat16 together (the bench.py
+    reduced_precision row, ~1.29x the f32 kernel on hardware): still bounded
+    vs golden."""
+    parts = partition_mesh(mesh, 4)
+    model = GreenGaussPallas(parts, NVAR, bp=128, interpret=True,
+                             src_dtype="bfloat16", meta_dtype="bfloat16")
+    state = model.distribute_state(gvar)
+    got = model.gather_global(np.asarray(model.step(state, "bulk")))
+    denom = max(1.0, np.abs(gref).max())
+    err = np.abs(got - gref).max() / denom
+    assert 1e-7 < err < 5e-3, err
+
+
 def test_bf16_src_requires_packed(mesh):
     with pytest.raises(Exception, match="packed"):
         GreenGaussPallas(partition_mesh(mesh, 1), NVAR, bp=128, interpret=True,

@@ -70,9 +70,11 @@ def test_kbench_interpret_smoke(capsys):
     from cfd_proxy_tpu.tools.kbench import main as kbench_main
 
     rc = kbench_main(["--nx", "6", "--bp", "128", "--iters", "2",
-                      "--variants", "prod", "--check"])
+                      "--variants", "prod,bf16src,bf16sw", "--check"])
     assert rc == 0
-    assert "OK" in capsys.readouterr().out
+    out = capsys.readouterr().out
+    # every gg-semantics variant gets its own golden fingerprint line
+    assert out.count("OK") >= 3
 
 
 def test_golden_flux_model_roundtrip(tmp_path):
