@@ -1,0 +1,100 @@
+"""Kernel-level tests for the packed-source formats (ops/blocksweep.py):
+the Pallas pack_srcs re-pack must agree BITWISE with the XLA reference
+construction (gather_srcs / srcs_to_format) in both f32 and bf16-delta
+("bf16d", the --src-dtype bfloat16 production format)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cfd_proxy_tpu.mesh.generator import generate_mesh, make_state
+from cfd_proxy_tpu.ops.blocksweep import (
+    NV,
+    build_block_plan,
+    gather_exts,
+    gather_srcs,
+    pack_srcs,
+    slot_src_cols,
+    srcs_to_format,
+    sweep_blocks,
+)
+
+BP = 128
+
+
+@pytest.fixture(scope="module")
+def setup():
+    m = generate_mesh(7, 6, 5, jitter=0.05, diag_frac=0.25, shuffle=True,
+                      seed=11)
+    npoint_dev = ((m.npoint + BP - 1) // BP) * BP + BP
+    inv = np.zeros(npoint_dev)
+    inv[: m.npoint] = 1.0 / m.volume
+    plan = build_block_plan(m.faces.astype(np.int32), m.normals, npoint_dev,
+                            inv, bp=BP, all_blocks=True)
+    var = make_state(m.npoint, 7, seed=3, dtype=np.float32)
+    var_T = np.zeros((NV, npoint_dev), np.float32)
+    var_T[:7, : m.npoint] = var.T
+    var_T = jnp.asarray(var_T)
+    pa = {
+        "block_ids": jnp.asarray(plan.block_ids),
+        "slot_idx": jnp.asarray(plan.slot_idx),
+        "slot_w": jnp.asarray(plan.slot_w),
+        "scale": jnp.asarray(plan.scale),
+    }
+    pa["exts"] = gather_exts(var_T, jnp.asarray(plan.ext_idx))
+    srcs_ref = gather_srcs(var_T, jnp.asarray(slot_src_cols(plan)))
+    return m, plan, var_T, pa, srcs_ref
+
+
+def _pack(plan, var_T, pa, fmt):
+    return pack_srcs(var_T, pa, bp=BP, ep=plan.ep, kslots=plan.kslots,
+                     nblocks=plan.nblocks, interpret=True, src_format=fmt)
+
+
+def test_pack_srcs_f32_bitwise(setup):
+    m, plan, var_T, pa, srcs_ref = setup
+    got = np.asarray(_pack(plan, var_T, pa, "f32"))
+    np.testing.assert_array_equal(got, np.asarray(srcs_ref))
+
+
+def test_pack_srcs_bf16d_bitwise(setup):
+    """The Pallas bf16-delta pack equals the XLA reference (same gather,
+    same subtraction, same rounding) — including padding slots, which
+    resolve to a deterministic valid column in both paths."""
+    m, plan, var_T, pa, srcs_ref = setup
+    got = np.asarray(_pack(plan, var_T, pa, "bf16d"))
+    want = np.asarray(srcs_to_format(srcs_ref, var_T, pa["block_ids"], BP,
+                                     "bf16d"))
+    assert got.dtype == want.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(got.astype(np.float32),
+                                  want.astype(np.float32))
+
+
+def test_sweep_bf16d_matches_manual(setup):
+    """sweep_blocks(src_format='bf16d') == the same accumulation computed in
+    NumPy from the bf16 deltas (per-slot order, f32 accumulate)."""
+    m, plan, var_T, pa, srcs_ref = setup
+    deltas = np.asarray(srcs_to_format(srcs_ref, var_T, pa["block_ids"], BP,
+                                       "bf16d")).astype(np.float32)
+    pa2 = dict(pa)
+    pa2["srcs"] = jnp.asarray(deltas).astype(jnp.bfloat16)
+    got = np.asarray(sweep_blocks(
+        var_T, pa2, bp=BP, ep=plan.ep, kslots=plan.kslots,
+        nblocks=plan.nblocks, interpret=True, packed=True,
+        src_format="bf16d"))
+    # manual: acc_k += w_k * (own + 0.5*delta_k), then scale
+    vt = np.asarray(var_T)
+    nb = plan.nblocks
+    want = np.zeros((3 * NV, vt.shape[1]), np.float32)
+    for bi in range(nb):
+        b = int(plan.block_ids[bi])
+        own = vt[:, b * BP : (b + 1) * BP]                     # (NV, BP)
+        acc = np.zeros((3, NV, BP), np.float32)
+        for k in range(plan.kslots):
+            avg = own + 0.5 * deltas[bi, k]                    # (NV, BP)
+            acc = acc + plan.slot_w[bi, k][:, None, :] * avg[None, :, :]
+        want[:, b * BP : (b + 1) * BP] = (
+            acc.reshape(3 * NV, BP) * plan.scale[bi, 0][None, :])
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=1e-5)
