@@ -68,6 +68,10 @@ class SolverConfig:
                                     # JAX_PLATFORMS, so "cpu" here is the
                                     # only way to get the virtual multi-
                                     # device mesh on a TPU host
+    solver_mode: bool = False   # time the FULL per-time-step dataflow
+                                # (sweep + state update + var halo exchange
+                                # + table rebuild) instead of the proxy's
+                                # static-state iteration; pallas backend only
     verify: bool = True
     json_out: bool = False
     profile_dir: str | None = None   # jax.profiler trace output (optional)
@@ -157,15 +161,17 @@ def _sync_scalar(out) -> float:
 
 
 def time_schedule(
-    model, var, schedule: str, iters: int, warmup: int, repeats: int = 3
+    model, var, schedule: str, iters: int, warmup: int, repeats: int = 3,
+    solver_mode: bool = False,
 ) -> IterationStats:
     """Two-point timing: run chained loops of n0 and n0+iters iterations in
     single dispatches; the difference isolates per-iteration time from the
     per-dispatch overhead (~30 ms through the tunnel)."""
     del warmup  # compile of both runners is the warmup
     n0 = max(1, iters // 10)
-    small = model.iterate_fn(schedule, n0)
-    big = model.iterate_fn(schedule, n0 + iters)
+    kw = {"solver_mode": True} if solver_mode else {}
+    small = model.iterate_fn(schedule, n0, **kw)
+    big = model.iterate_fn(schedule, n0 + iters, **kw)
     args = model.iter_args(var)
     _sync_scalar(small(*args))  # compile
     _sync_scalar(big(*args))    # compile
@@ -202,6 +208,8 @@ def run(cfg: SolverConfig) -> tuple[dict, list[IterationStats]]:
                 f"--platform {cfg.platform} did not take effect (backend is "
                 f"{got!r} — jax was already initialised in this process; "
                 f"set the platform before any jax use)")
+    if cfg.solver_mode and cfg.backend != "pallas":
+        raise SystemExit("--solver-mode requires the pallas backend")
     model, gmesh = build_model(cfg)
     nface_total = sum(p.nface for p in model.parts)
     npoint_total = sum(p.nowned for p in model.parts)
@@ -219,6 +227,7 @@ def run(cfg: SolverConfig) -> tuple[dict, list[IterationStats]]:
         "nvar": cfg.nvar,
         "dtype": cfg.dtype,
         "src_dtype": cfg.src_dtype,
+        "solver_mode": cfg.solver_mode,
         "backend": cfg.backend,
         "iters": cfg.iters,
         "schedules": {},
@@ -243,10 +252,12 @@ def run(cfg: SolverConfig) -> tuple[dict, list[IterationStats]]:
         # when several schedules are being compared)
         nocomm = None
         if len(schedules) > 1:
-            nocomm = time_schedule(model, var, "nocomm", cfg.iters, cfg.warmup)
+            nocomm = time_schedule(model, var, "nocomm", cfg.iters, cfg.warmup,
+                                   solver_mode=cfg.solver_mode)
         bulk_med = None
         for s in schedules:
-            st = time_schedule(model, var, s, cfg.iters, cfg.warmup)
+            st = time_schedule(model, var, s, cfg.iters, cfg.warmup,
+                               solver_mode=cfg.solver_mode)
             all_stats.append(st)
             if s == "bulk":
                 bulk_med = st.median
@@ -364,6 +375,11 @@ def main(argv=None) -> int:
                     help="geometric z-spacing growth ratio (boundary-layer "
                          "anisotropy)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--solver-mode", action="store_true",
+                    help="time the full per-time-step dataflow (sweep + "
+                         "state update + var halo exchange + source-table "
+                         "rebuild) instead of the proxy's static-state "
+                         "iteration (pallas backend)")
     ap.add_argument("--no-verify", action="store_true")
     ap.add_argument("--json", action="store_true", help="emit one JSON line")
     ap.add_argument("--profile", dest="profile_dir", default=None,
@@ -385,6 +401,7 @@ def main(argv=None) -> int:
         bp=args.bp, dtype=args.dtype,
         diag_frac=args.diag_frac, stretch=args.stretch, seed=args.seed,
         platform=args.platform,
+        solver_mode=args.solver_mode,
         verify=not args.no_verify, json_out=args.json,
         profile_dir=args.profile_dir,
     )

@@ -192,6 +192,23 @@ def test_iterate_fn_runs(mesh, gvar):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_solver_iterate_matches_manual_composition(mesh, gvar):
+    """The fused solver-mode runner (sweep → toy update → var exchange →
+    table rebuild in ONE jit) equals the same chain composed through the
+    public step/refresh_state API, bitwise on var_T."""
+    import jax.numpy as jnp
+
+    parts = partition_mesh(mesh, 4)
+    model = GreenGaussPallas(parts, NVAR, bp=128, interpret=True)
+    state = model.distribute_state(gvar)
+    got = np.asarray(model.iterate_fn("bulk", 1, solver_mode=True)(
+        *model.iter_args(state)))
+    g = model.step(state, "bulk")
+    v2 = state["var_T"] + 1e-30 * g[:, : g.shape[1] // 3, :][:, :8, :]
+    want = np.asarray(model.refresh_state(v2)["var_T"])
+    np.testing.assert_array_equal(got, want)
+
+
 def test_refresh_state_solver_mode(mesh, gvar):
     """Device-side state update → var ghost exchange → exts rebuilt."""
     import jax.numpy as jnp

@@ -26,6 +26,22 @@ def test_cli_table_output(capsys):
     assert "variant" in out and "Mfaces/s" in out
 
 
+def test_cli_solver_mode(capsys):
+    rc = main(["--nx", "8", "--parts", "2", "--iters", "2",
+               "--schedule", "bulk", "--solver-mode", "--no-verify",
+               "--json"])
+    assert rc == 0
+    d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert d["solver_mode"] is True
+    assert "bulk" in d["schedules"]
+
+
+def test_cli_solver_mode_requires_pallas():
+    with pytest.raises(SystemExit, match="pallas"):
+        main(["--nx", "8", "--parts", "1", "--backend", "xla",
+              "--solver-mode"])
+
+
 def test_cli_missing_mesh_files():
     with pytest.raises(SystemExit) as e:
         main(["--mesh", "/nonexistent/prefix", "--parts", "2"])
