@@ -101,6 +101,7 @@ def _pad_blocks(plan: BlockPlan, nblocks: int, trash_block: int) -> BlockPlan:
         slot_w=pad(plan.slot_w),
         ext_idx=pad(plan.ext_idx),
         scale=pad(plan.scale),
+        ext_cnt=(None if plan.ext_cnt is None else pad(plan.ext_cnt)),
     )
 
 
@@ -314,15 +315,18 @@ class GreenGaussPallas:
             var_T, self._send_idx, self._send_mask)
         return {"var_T": var_T, **self._build_tables(var_T)}
 
-    def _build_tables_fn(self):
+    def _build_tables_fn(self, classes: tuple = CLASSES):
         """Cached jitted per-class table rebuild:
-        (var_T, plans...) → (tbl_bulk, tbl_boundary, tbl_interior)."""
-        if "build_tables" not in self._step_cache:
+        (var_T, plans per class...) → (table per class...).  `classes`
+        selects a subset — the solver-mode loop only rebuilds the tables its
+        schedule actually reads (bulk: 1 of 3; early/overlap: 2 of 3), which
+        matters because the pack is the dominant per-time-step cost."""
+        key = ("build_tables", classes)
+        if key not in self._step_cache:
 
-            def body(v, pb, pbd, pi):
+            def body(v, *plans_in):
                 outs = []
-                for cls, plans in (("bulk", pb), ("boundary", pbd),
-                                   ("interior", pi)):
+                for cls, plans in zip(classes, plans_in):
                     pa = _sq(plans)
                     exts = gather_exts(v[0], pa["ext_idx"])
                     if self.packed:
@@ -339,11 +343,11 @@ class GreenGaussPallas:
 
             fn = _shard_map(
                 body, self.mesh,
-                in_specs=(P(AXIS),) * 4,
-                out_specs=(P(AXIS),) * 3,
+                in_specs=(P(AXIS),) * (1 + len(classes)),
+                out_specs=(P(AXIS),) * len(classes),
             )
-            self._step_cache["build_tables"] = jax.jit(fn)
-        return self._step_cache["build_tables"]
+            self._step_cache[key] = jax.jit(fn)
+        return self._step_cache[key]
 
     def _build_tables(self, var_T: jax.Array) -> dict:
         """Per-class pre-gathered tables: ext columns (gather kernel) or full
@@ -497,22 +501,34 @@ class GreenGaussPallas:
         if key not in self._step_cache:
             step = self.step_fn(schedule)
             exch = self._var_exchange_fn()
-            tables = self._build_tables_fn()
+            # rebuild ONLY the tables this schedule reads — the re-pack is
+            # the dominant per-step cost (bulk sweep reads tbl_bulk alone;
+            # early/overlap read boundary+interior)
+            needed = (("bulk",) if schedule in ("bulk", "nocomm")
+                      else ("boundary", "interior"))
+            tables = self._build_tables_fn(needed)
 
             @jax.jit
             def run_n(n, var_T, e_bulk, e_b, e_i, send_idx, send_mask,
                       pack_scale, dsts, srcs, pb, pbd, pi):
+                plans = {"bulk": pb, "boundary": pbd, "interior": pi}
+                init_tbl = {"bulk": e_bulk, "boundary": e_b, "interior": e_i}
+
                 def body(_i, carry):
-                    v, eb, ebd, ei = carry
-                    g = step(v, eb, ebd, ei, send_idx, send_mask, pack_scale,
+                    v, cur = carry
+                    tb = dict(init_tbl)
+                    tb.update(zip(needed, cur))
+                    g = step(v, tb["bulk"], tb["boundary"], tb["interior"],
+                             send_idx, send_mask, pack_scale,
                              dsts, srcs, pb, pbd, pi)
                     v2 = v + 1e-30 * g[:, :NV, :]     # toy state update
                     v2 = exch(v2, send_idx, send_mask)
-                    eb2, ebd2, ei2 = tables(v2, pb, pbd, pi)
-                    return (v2, eb2, ebd2, ei2)
+                    new = tables(v2, *[plans[c] for c in needed])
+                    return (v2, tuple(new))
 
-                out = jax.lax.fori_loop(0, n, body,
-                                        (var_T, e_bulk, e_b, e_i))
+                out = jax.lax.fori_loop(
+                    0, n, body,
+                    (var_T, tuple(init_tbl[c] for c in needed)))
                 return out[0]
 
             self._step_cache[key] = run_n

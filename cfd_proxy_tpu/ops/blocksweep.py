@@ -80,6 +80,10 @@ class BlockPlan:
     slot_w: np.ndarray         # (nblocks, K, 3, BP) f32 — ± normals
     ext_idx: np.ndarray        # (nblocks, EP) i32 — device columns to gather
     scale: np.ndarray          # (nblocks, 1, BP) f32 — 1/V (fused), 0 on pad
+    ext_cnt: np.ndarray | None = None  # (nblocks,) i32 — REAL ext columns per
+                               # block (≤ EP, which is the max padded up);
+                               # lets gather-style kernels bound their pass
+                               # loops per block instead of scanning all EP
 
 
 def build_block_plan(
@@ -177,6 +181,7 @@ def build_block_plan(
         npoint_dev=npoint_dev, bp=bp, ep=ep, kslots=kmax, nblocks=nblocks,
         block_ids=blocks.astype(np.int32), slot_idx=slot_idx, slot_w=slot_w,
         ext_idx=ext_idx, scale=scale,
+        ext_cnt=np.array([len(e) for e in ext_lists], np.int32),
     )
 
 
@@ -258,7 +263,7 @@ def _build_block_plan_native(faces, normals, npoint_dev, inv_scale, bp,
         npoint_dev=npoint_dev, bp=bp, ep=ep, kslots=ks, nblocks=len(blocks),
         block_ids=blocks.astype(np.int32),
         slot_idx=slot_idx[blocks], slot_w=slot_w[blocks],
-        ext_idx=ext_idx[blocks], scale=scale,
+        ext_idx=ext_idx[blocks], scale=scale, ext_cnt=ext_cnt[blocks],
     )
 
 
@@ -284,6 +289,17 @@ def _masked_gather(tbl, idx, npass):
         g_j = jnp.take_along_axis(tbl_j, lo, axis=1)
         gat = jnp.where(hi == j, g_j, gat)
     return gat
+
+
+# NOTE — dynamic per-block pass bounds are a MEASURED DEAD END (round 2):
+# a fori_loop over ext passes with a runtime trip count (128-aligned dynamic
+# ref loads; dynamic_slice on a VALUE does not lower at all) Mosaic-compiles
+# but runs 5.7× SLOWER than the static unroll (33.3 vs 5.8 ms solver-mode
+# step) — loop control serializes the kernel, echoing the lax.cond lesson.
+# And the upside was nil: after the RCB relabel the model's per-class ext
+# counts cluster tightly (545-680 of ep 768 at 2.8M faces), so the static
+# pass count is already near the per-block optimum.  BlockPlan.ext_cnt is
+# kept as HOST-side geometry metadata only.
 
 
 def _block_compute(bp: int, ep: int, kslots: int, accumulate: bool, op: str):

@@ -59,6 +59,23 @@ def test_pack_srcs_f32_bitwise(setup):
     np.testing.assert_array_equal(got, np.asarray(srcs_ref))
 
 
+def test_plan_ext_cnt_metadata(setup):
+    """BlockPlan.ext_cnt (host-side geometry metadata) counts the REAL ext
+    columns per block — consistent between the NumPy and native builders
+    (tests/test_native.py covers the parity) and bounded by the padded EP.
+    Kernel-side dynamic pass bounds built on it are a measured dead end
+    (5.7x slower; see ops/blocksweep.py note)."""
+    m, plan, var_T, pa, srcs_ref = setup
+    assert plan.ext_cnt is not None
+    assert plan.ext_cnt.shape == (plan.nblocks,)
+    assert (plan.ext_cnt >= 0).all() and (plan.ext_cnt <= plan.ep).all()
+    # each block's ext_idx has exactly ext_cnt leading real entries: entries
+    # past the count are padding zeros
+    for b in range(plan.nblocks):
+        c = int(plan.ext_cnt[b])
+        assert (plan.ext_idx[b, c:] == 0).all()
+
+
 def test_pack_srcs_bf16d_bitwise(setup):
     """The Pallas bf16-delta pack equals the XLA reference (same gather,
     same subtraction, same rounding) — including padding slots, which
