@@ -12,7 +12,7 @@ denominator until real 2-socket node numbers exist (BASELINE.md).
 Env knobs: BENCH_NX (grid edge, default 96 on TPU / 16 on CPU),
 BENCH_ITERS (default 300), BENCH_SCHEDULE (default bulk),
 BENCH_BACKEND (default pallas), BENCH_KERNEL (default packed),
-BENCH_BP (default 1024).
+BENCH_BP (default 4096; paired-scan optimum, BASELINE.md).
 """
 
 import json
@@ -80,7 +80,7 @@ def main() -> int:
     schedule = os.environ.get("BENCH_SCHEDULE", "all" if on_tpu else "bulk")
     backend = os.environ.get("BENCH_BACKEND", "pallas")
     kernel = os.environ.get("BENCH_KERNEL", "packed")
-    bp = int(os.environ.get("BENCH_BP", "1024"))
+    bp = int(os.environ.get("BENCH_BP", "4096"))
     log(f"platform={platform} devices={jax.devices()} nx={nx} iters={iters} "
         f"backend={backend} kernel={kernel} bp={bp}")
 

@@ -113,7 +113,7 @@ class GreenGaussPallas:
         parts: list[MeshPartition],
         nvar: int,
         *,
-        bp: int = 1024,
+        bp: int = 4096,
         devices: list | None = None,
         interpret: bool | None = None,
         op: str = "gg",
@@ -164,7 +164,18 @@ class GreenGaussPallas:
         check(op != "flux" or nvar >= 3,
               "flux model needs nvar >= 3 (velocity components), got %d", nvar)
         self.nvar = int(nvar)
-        self.bp = bp
+        # cap the block size at the (128-rounded) shard size: blocks larger
+        # than the shard are pure padding — without this the bp=4096 default
+        # makes small meshes (tests, examples) sweep 8x dead lanes
+        cap = max(p.npoint for p in parts) + 1
+        cap = ((cap + 127) // 128) * 128
+        if interpret:
+            # interpret mode is the correctness harness: the kernel TRACE
+            # grows ~bp^2/128^2 (tile x gather-pass unrolls) and each traced
+            # op executes eagerly on host — bp=4096 made a 4.6k-point CLI
+            # test take 660 s.  1024 keeps traces at the round-2 size.
+            cap = min(cap, 1024)
+        self.bp = bp = min(bp, cap)
         self.interpret = interpret
         P_ = len(parts)
         # locality relabel, then topology & device layout

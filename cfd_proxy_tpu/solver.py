@@ -55,8 +55,12 @@ class SolverConfig:
     src_dtype: str = "float32"      # bfloat16 = delta-packed bf16 slot
                                     # sources: srcs stream halves, ~17%
                                     # faster, ~1e-3 rel bound (BASELINE.md)
-    bp: int = 1024              # points per Pallas block — the thread-config
-                                # analogue (reference: pthread count sweeps)
+    bp: int = 4096              # points per Pallas block — the thread-config
+                                # analogue (reference: pthread count sweeps).
+                                # Paired block-size scan (BASELINE.md): f32
+                                # flat 2048-4096, bf16 best at 4096, 8192
+                                # regresses 23%; small shards (<~50k pts)
+                                # may want less
     dtype: str = "float32"
     diag_frac: float = 0.2
     jitter: float = 0.05
@@ -229,6 +233,8 @@ def run(cfg: SolverConfig) -> tuple[dict, list[IterationStats]]:
         "src_dtype": cfg.src_dtype,
         "solver_mode": cfg.solver_mode,
         "backend": cfg.backend,
+        # effective block size (the model caps cfg.bp at the shard size)
+        "bp": getattr(model, "bp", None),
         "iters": cfg.iters,
         "schedules": {},
     }
@@ -367,7 +373,7 @@ def main(argv=None) -> int:
                     help="packed slot-source precision (bfloat16: delta-"
                          "packed, srcs stream halves, ~17%% faster, ~1e-3 "
                          "rel bound — BASELINE.md)")
-    ap.add_argument("--bp", type=int, default=1024,
+    ap.add_argument("--bp", type=int, default=4096,
                     help="points per Pallas block (multiple of 128)")
     ap.add_argument("--dtype", default="float32", choices=["float32", "float64"])
     ap.add_argument("--diag-frac", type=float, default=0.2)

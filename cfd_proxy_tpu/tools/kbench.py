@@ -24,6 +24,11 @@ the gap to the streaming memory floor (BASELINE.md):
              "slower" verdict, which was timing noise
     bf16sw   sources AND weights bf16 (the full reduced-precision mode):
              paired ratio 1.106 over bf16src ⇒ ~1.29x prod, ~7.0 Gf/s raw
+    prod_alt / bf16sw_alt
+             the same kernels on a SECOND plan built at --bp-alt — decides
+             block-size questions drift-free.  Verdicts (2.8M faces):
+             bp 1024→2048 ratio 1.08 f32 / 1.24 bf16; 2048→4096 another
+             1.10 bf16 (0.303 ms ≈ 9.2 Gf/s raw)
 
 Timing uses the two-point chained-loop method (solver.time_schedule): the
 axon tunnel's block_until_ready does not wait and dispatch costs ~30 ms.
@@ -48,7 +53,7 @@ import numpy as np
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="cfd_proxy_tpu.tools.kbench")
     ap.add_argument("--nx", type=int, default=96)
-    ap.add_argument("--bp", type=int, default=1024)
+    ap.add_argument("--bp", type=int, default=4096)
     ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--variants", default="prod,stream,wsum")
     ap.add_argument("--paired", default=None, metavar="A,B",
@@ -59,6 +64,11 @@ def main(argv=None) -> int:
     ap.add_argument("--check", action="store_true",
                     help="validate the prod kernel's output against the f64 "
                          "golden via an on-device abs-sum fingerprint")
+    ap.add_argument("--bp-alt", type=int, default=None,
+                    help="build a SECOND plan at this block size and expose "
+                         "prod_alt / bf16sw_alt variants — lets --paired "
+                         "decide block-size questions drift-free "
+                         "(e.g. --paired prod,prod_alt --bp-alt 2048)")
     args = ap.parse_args(argv)
 
     import jax
@@ -223,6 +233,43 @@ def main(argv=None) -> int:
         "bf16sw": (bf16src_fn, var_T, pa_bsw),
         "w16": (prod_fn, var_T, pa_w),
     }
+
+    if args.bp_alt:
+        bp2 = args.bp_alt
+        nd2 = ((m.npoint + bp2 - 1) // bp2) * bp2 + bp2
+        inv2 = np.zeros(nd2)
+        inv2[: m.npoint] = 1.0 / m.volume
+        plan2 = build_block_plan(m.faces.astype(np.int32), m.normals, nd2,
+                                 inv2, bp=bp2, all_blocks=True)
+        print(f"alt: bp={bp2} nblocks={plan2.nblocks} K={plan2.kslots} "
+              f"ep={plan2.ep}")
+        vT2 = np.zeros((NV, nd2), np.float32)
+        vT2[:7, : m.npoint] = var.T
+        vT2 = jnp.asarray(vT2)
+        pa2 = {
+            "block_ids": jnp.asarray(plan2.block_ids),
+            "slot_w": jnp.asarray(plan2.slot_w),
+            "scale": jnp.asarray(plan2.scale),
+        }
+        pa2["srcs"] = jax.jit(gather_srcs)(
+            vT2, jnp.asarray(slot_src_cols(plan2)))
+
+        def alt_fn(src_format):
+            def fn(v, pa):
+                return sweep_blocks(
+                    v, pa, bp=bp2, ep=plan2.ep, kslots=plan2.kslots,
+                    nblocks=plan2.nblocks, interpret=interpret, packed=True,
+                    src_format=src_format)
+            return fn
+
+        pa2b = dict(pa2)
+        pa2b["srcs"] = jax.jit(
+            lambda s, v, b: srcs_to_format(s, v, b, bp2, "bf16d")
+        )(pa2["srcs"], vT2, pa2["block_ids"])
+        pa2b["slot_w"] = jax.jit(lambda w: w.astype(jnp.bfloat16))(
+            pa2["slot_w"])
+        variants["prod_alt"] = (alt_fn("f32"), vT2, pa2)
+        variants["bf16sw_alt"] = (alt_fn("bf16d"), vT2, pa2b)
 
     def sampler(name):
         """Compile a variant's chained-loop runners; return a function that

@@ -27,9 +27,9 @@ def test_cli_table_output(capsys):
 
 
 def test_cli_solver_mode(capsys):
-    rc = main(["--nx", "8", "--parts", "2", "--iters", "2",
-               "--schedule", "bulk", "--solver-mode", "--no-verify",
-               "--json"])
+    rc = main(["--nx", "8", "--ny", "8", "--nz", "7", "--parts", "2",
+               "--iters", "2", "--schedule", "bulk", "--solver-mode",
+               "--no-verify", "--json"])
     assert rc == 0
     d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert d["solver_mode"] is True
