@@ -77,6 +77,28 @@ def test_kbench_interpret_smoke(capsys):
     assert out.count("OK") >= 3
 
 
+def test_kbench_paired_mode(capsys):
+    """Paired mode runs end to end in interpret mode and reports the median
+    per-pair ratio with IQR (interpret iterations are slow enough that the
+    two-point samples clear the dispatch-noise floor on CPU)."""
+    from cfd_proxy_tpu.tools.kbench import main as kbench_main
+
+    rc = kbench_main(["--nx", "6", "--bp", "128", "--iters", "2",
+                      "--paired", "prod,bf16sw", "--repeats", "2"])
+    assert rc == 0
+    assert "median ratio" in capsys.readouterr().out
+
+
+def test_kbench_bp_alt_variants(capsys):
+    """--bp-alt builds a second plan; the alt variants run and check clean."""
+    from cfd_proxy_tpu.tools.kbench import main as kbench_main
+
+    rc = kbench_main(["--nx", "6", "--bp", "128", "--bp-alt", "256",
+                      "--iters", "2", "--variants", "prod_alt,bf16sw_alt"])
+    assert rc == 0
+    assert "alt: bp=256" in capsys.readouterr().out
+
+
 def test_golden_flux_model_roundtrip(tmp_path):
     ref = str(tmp_path / "flux.nc")
     assert golden_main(["dump", "--nx", "8", "--model", "flux",
