@@ -5,9 +5,11 @@ Prints ONE JSON line:
   {"metric": "faces_per_sec_per_chip", "value": N, "unit": "faces/s",
    "vs_baseline": N, ...diagnostics...}
 
-vs_baseline is measured against this machine's CPU golden path (NumPy
-`compute_gradients_gg`, the C-semantics sequential loop) — the stand-in
-denominator until real 2-socket node numbers exist (BASELINE.md).
+vs_baseline is measured against this machine's 1-core C golden
+(native/golden.cc — the reference's language; falls back to the NumPy
+golden if the native lib is absent) — the stand-in denominator until real
+2-socket node numbers exist (BASELINE.md).  vs_baseline_numpy keeps the
+flattering NumPy-denominator figure for comparison with round-1 records.
 
 Env knobs: BENCH_NX (grid edge, default 96 on TPU / 16 on CPU),
 BENCH_ITERS (default 300), BENCH_SCHEDULE (default bulk),
@@ -105,11 +107,17 @@ def main() -> int:
     head = "bulk" if schedule == "all" else schedule
     entry = results["schedules"][head]
     fps = entry["faces_per_sec"]
+    # vs_baseline uses the HONEST denominator: the 1-core C golden (the
+    # reference's language) when the native lib is present; the NumPy golden
+    # overstates the margin by the np.add.at penalty (~24x) and is reported
+    # separately as vs_baseline_numpy (VERDICT r1 item 3)
+    base_fps = cpu.get("c1_fps", cpu_fps)
     out = {
         "metric": "faces_per_sec_per_chip",
         "value": float(fps),
         "unit": "faces/s",
-        "vs_baseline": float(fps / cpu_fps),
+        "vs_baseline": float(fps / base_fps),
+        "vs_baseline_numpy": float(fps / cpu_fps),
         "platform": platform,
         "backend": backend,
         "kernel": kernel,
@@ -126,24 +134,31 @@ def main() -> int:
                    if "overlap_efficiency" in e else {})}
             for s, e in results["schedules"].items()
         }
-    if on_tpu and os.environ.get("BENCH_BF16_ROW", "1") != "0":
+    if (on_tpu and backend == "pallas"
+            and os.environ.get("BENCH_BF16_ROW", "1") != "0"):
         # secondary row: the full reduced-precision mode (--src-dtype
         # bfloat16 --meta-dtype bfloat16 — delta-packed bf16 slot sources +
         # bf16 slot weights; ~1e-3 rel bound, BASELINE.md).  The HEADLINE
         # stays f32 — the reduced-precision speedup is reported, not claimed
-        # as the metric.
+        # as the metric.  Always the packed kernel (bf16 sources require it)
+        # on the bulk schedule; the speedup denominator is the f32 BULK rate
+        # so precision is the only variable.
         from dataclasses import replace as _replace
 
-        cfg_bf = _replace(cfg, schedule="bulk", src_dtype="bfloat16",
-                          meta_dtype="bfloat16", force_rdma=False)
+        cfg_bf = _replace(cfg, schedule="bulk", kernel="packed",
+                          src_dtype="bfloat16", meta_dtype="bfloat16",
+                          force_rdma=False)
         res_bf, _ = run(cfg_bf)
         e_bf = res_bf["schedules"]["bulk"]
         out["reduced_precision"] = {
             "src_dtype": "bfloat16", "meta_dtype": "bfloat16",
             "faces_per_sec": e_bf["faces_per_sec"],
             "median_ms": e_bf["median_s"] * 1e3,
-            "speedup_vs_f32": e_bf["faces_per_sec"] / fps,
         }
+        f32_bulk = results["schedules"].get("bulk")
+        if f32_bulk is not None and kernel == "packed":
+            out["reduced_precision"]["speedup_vs_f32"] = (
+                e_bf["faces_per_sec"] / f32_bulk["faces_per_sec"])
         log(f"reduced-precision bulk: {e_bf['faces_per_sec']/1e9:.2f} Gf/s "
             f"({e_bf['median_s']*1e3:.3f} ms)")
     if "c1_fps" in cpu:

@@ -84,6 +84,13 @@ def main(argv=None) -> int:
 
     interpret = jax.default_backend() != "tpu"
     bp = args.bp
+    if interpret:
+        # same rationale as the model-level cap (gradients_pallas.py): the
+        # kernel trace grows ~bp^2/128^2 and interpret executes each traced
+        # op eagerly — bp 4096 effectively hangs on CPU-sized runs
+        bp = min(bp, 1024)
+        if args.bp_alt:
+            args.bp_alt = min(args.bp_alt, 1024)
     m = generate_mesh(args.nx, args.nx, args.nx, jitter=0.05, diag_frac=0.2,
                       seed=0)
     npoint_dev = ((m.npoint + bp - 1) // bp) * bp + bp  # + trash block
@@ -308,6 +315,14 @@ def main(argv=None) -> int:
         vals = [v for v in vals if np.isfinite(v)]
         return min(vals) if vals else float("inf")
 
+    requested = (args.paired.split(",") if args.paired
+                 else args.variants.split(","))
+    for name in requested:
+        if name not in variants:
+            ap.error(f"unknown variant {name!r} "
+                     f"(choose from {sorted(variants)}; the *_alt variants "
+                     f"need --bp-alt)")
+
     rc = 0
     if args.check:
         from cfd_proxy_tpu.ops.golden import (
@@ -322,7 +337,7 @@ def main(argv=None) -> int:
         # → 1e-3; bf16 variants carry ~3e-3 pointwise error that partially
         # cancels in the abs-sum → 1e-2
         tols = {"prod": 1e-3, "nv7": 1e-3, "w16": 1e-2, "bf16src": 1e-2,
-                "bf16sw": 1e-2}
+                "bf16sw": 1e-2, "prod_alt": 1e-3, "bf16sw_alt": 1e-2}
         names = (args.paired.split(",") if args.paired
                  else args.variants.split(","))
         for name in names:

@@ -115,9 +115,15 @@ def drive(nx=10, ny=10, nz=8, nparts=None, dt=0.1, target=0.1,
             if r < target * residuals[0]:
                 status = "converged"
                 break
-        # Dirichlet: update interior points only; boundary q stays fixed
-        var = state1["var_T"] + jnp.float32(dt) * (lap * upd[:, 0])[:, None, :]
-        state1 = grad_model.refresh_state(var)
+        # Dirichlet: update interior points only; boundary q stays fixed.
+        # Row 0 only — the padded state rows 1..NV-1 must STAY zero (the
+        # layout invariant other ops rely on), so pad the update like the
+        # var2 construction above instead of broadcasting into all rows
+        updv = jnp.float32(dt) * (lap * upd[:, 0])
+        upd_rows = jnp.concatenate(
+            [updv[:, None, :],
+             jnp.zeros((nparts, NV - 1, ndev), jnp.float32)], axis=1)
+        state1 = grad_model.refresh_state(state1["var_T"] + upd_rows)
     if verbose:
         print(f"{status} after {step + 1} steps "
               f"(residual {residuals[0]:.4f} -> {residuals[-1]:.4f})")

@@ -49,6 +49,7 @@ def test_native_matches_numpy(setup, subset, all_blocks):
     np.testing.assert_array_equal(pn.slot_w, pp.slot_w)
     np.testing.assert_array_equal(pn.ext_idx, pp.ext_idx)
     np.testing.assert_array_equal(pn.scale, pp.scale)
+    np.testing.assert_array_equal(pn.ext_cnt, pp.ext_cnt)
 
 
 def test_c_golden_bit_matches_numpy_golden():
