@@ -52,8 +52,6 @@ def device_halo(topo: HaloTopology, part_id: int) -> DeviceHalo:
         recv[k, :s] = ph.recv_idx[part_id]
         # re-pad: entries beyond this phase's own smax stay inert
         perms.append(tuple(ph.perm))
-    if not topo.phases:
-        perms = []
     # host numpy: placement happens once via the model's sharded device_put
     return DeviceHalo(
         send_idx=send,
@@ -93,8 +91,8 @@ def exchange(
     x: jax.Array,
     halo: DeviceHalo,
     axis_name: str,
-    *,
-    scale: jax.Array | None = None,
 ) -> jax.Array:
-    """Bulk-synchronous exchange: start + finish back-to-back."""
-    return exchange_finish(x, exchange_start(x, halo, axis_name, scale=scale), halo)
+    """Bulk-synchronous exchange: start + finish back-to-back.  (Pack-time
+    scaling is an exchange_start concern; no caller composes it through
+    this bulk wrapper.)"""
+    return exchange_finish(x, exchange_start(x, halo, axis_name), halo)

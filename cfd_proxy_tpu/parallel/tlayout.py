@@ -122,7 +122,7 @@ def build_tlayout(
     dsts[dsts < 0] = ids[dsts < 0]
     srcs[srcs < 0] = ids[srcs < 0]
 
-    for d, p in enumerate(parts):
+    for d in range(len(parts)):
         check(int(locmap[d].min(initial=0)) >= 0,
               "ghost point unmapped on shard %d", d)
     return TLayout(

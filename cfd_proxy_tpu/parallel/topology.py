@@ -82,6 +82,12 @@ def build_halo_topology(
 
     nrounds = max((pt.nrounds for pt in parts), default=0)
     phases: list[PhaseSpec] = []
+    # positional identity: parts[i] must BE partition i — partner lookups
+    # below are positional, and a reordered/renamed shard-file list would
+    # otherwise pair the wrong recvidx silently
+    for i, pt in enumerate(parts):
+        check(pt.part_id == i,
+              "parts out of order: index %d holds part_id %d", i, pt.part_id)
     for r in range(nrounds):
         # directed edges with payload: (src, dst, sendidx, recvidx)
         edges = []
