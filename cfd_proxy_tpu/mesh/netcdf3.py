@@ -3,7 +3,7 @@
 The reference consumes pre-partitioned meshes through the netCDF C library
 (`reader.c`; SURVEY.md §2 L1).  This sandbox has no `netCDF4`/`xarray`, so the
 rebuild carries its own codec for the classic file format — enough to
-round-trip the mesh schema in `cfd_proxy_tpu.mesh.schema` and to stay
+round-trip the mesh schema frozen in `cfd_proxy_tpu.mesh.reader` and to stay
 interoperable with any standard netCDF tool (`ncdump`, scipy.io.netcdf_file,
 netCDF4): the on-disk format is the documented CDF-1/CDF-2 layout.
 
@@ -49,15 +49,27 @@ def _nc_type_for(arr: np.ndarray) -> int:
     if kind == "i" and size == 1:
         return NC_BYTE
     if kind in "SU":
+        # NC_CHAR is a 1-byte element type: multi-character string elements
+        # would silently keep only their first byte — refuse instead
+        if size > (4 if kind == "U" else 1):
+            raise ValueError(
+                "netCDF classic char variables are single-byte elements; "
+                f"reshape {arr.dtype} strings to an S1 array of characters")
         return NC_CHAR
     if kind == "i" and size == 2:
         return NC_SHORT
-    if kind in "iu" and size <= 4:
+    if kind == "i" and size <= 4:
         return NC_INT
+    if kind == "u" and size <= 2:
+        return NC_INT            # u1/u2 always fit in a signed 32-bit int
     if kind == "f" and size == 4:
         return NC_FLOAT
     if kind == "f" and size == 8:
         return NC_DOUBLE
+    if kind == "u" and size == 4:
+        # values above INT32_MAX would silently wrap in the >i4 cast
+        raise ValueError("uint32 not representable in netCDF classic "
+                         "(NC_INT is signed); cast explicitly first")
     if kind in "iu" and size == 8:
         # classic netCDF has no 64-bit integer; mesh indices fit in int32
         raise ValueError("int64 not representable in netCDF classic; cast to int32 first")
@@ -90,7 +102,14 @@ class Dataset:
         self.variables[name] = (tuple(dim_names), arr)
 
     def __getitem__(self, name: str) -> np.ndarray:
-        return self.variables[name][1]
+        dn, arr = self.variables[name]
+        if arr.dtype.byteorder == ">":
+            # lazily-stored big-endian mmap view (read path): convert to a
+            # native-order copy on FIRST access and cache it — variables a
+            # caller never touches never leave their mapped pages
+            arr = arr.astype(arr.dtype.newbyteorder("="))
+            self.variables[name] = (dn, arr)
+        return arr
 
 
 # ---------------------------------------------------------------- writing
@@ -136,6 +155,13 @@ def write(path: str, ds: Dataset, *, version: int | None = None) -> None:
     final byte offset would overflow int32); 1 or 2 to force."""
     dim_names = list(ds.dims)
     dim_index = {n: i for i, n in enumerate(dim_names)}
+    for n in dim_names:
+        # a 0-length fixed dim is indistinguishable from the record
+        # (unlimited) dimension in the classic format — standard tools
+        # misread such files; callers omit empty dims instead (reader.py)
+        check(ds.dims[n] > 0,
+              "netcdf3 writer: zero-length dim %r not representable in the "
+              "classic format (omit the dim and its variables)", n)
 
     # precompute per-variable data size to know the file size / version
     var_meta = []
@@ -170,7 +196,10 @@ def write(path: str, ds: Dataset, *, version: int | None = None) -> None:
                 for dn in dnames:
                     out.append(struct.pack(">i", dim_index[dn]))
                 _write_attr_list(out, {})
-                out.append(struct.pack(">ii", t, vsize))
+                # vsize is an UNSIGNED header field; >=2 GiB variables are
+                # legal in CDF-2 (clamped to 2^32-1 for an oversized last
+                # variable, per spec) but overflow a signed '>i' pack
+                out.append(struct.pack(">iI", t, min(vsize, (1 << 32) - 1)))
                 out.append(struct.pack(offt, begin_of.get(name, 0)))
         else:
             out.append(_NC_ABSENT)
@@ -221,6 +250,9 @@ class _Cursor:
 
     def i4(self) -> int:
         return struct.unpack(">i", self.take(4))[0]
+
+    def u4(self) -> int:
+        return struct.unpack(">I", self.take(4))[0]
 
     def i8(self) -> int:
         return struct.unpack(">q", self.take(8))[0]
@@ -296,7 +328,7 @@ def read(path: str) -> Dataset:
             dimids = [c.i4() for _ in range(nd)]
             _ = _read_attr_list(c)  # per-var attrs: parsed, not kept
             t = c.i4()
-            _vsize = c.i4()
+            _vsize = c.u4()   # unsigned: >=2 GiB variables are legal in CDF-2
             begin = c.i8() if version == 2 else c.i4()
             dnames = tuple(dims[d][0] for d in dimids)
             shape = tuple(dims[d][1] for d in dimids)
@@ -305,8 +337,8 @@ def read(path: str) -> Dataset:
             check(len(raw) == count * _TYPE_SIZE[t],
                   "netcdf3 reader: truncated data for variable %s", nm)
             arr = np.frombuffer(raw, dtype=_TYPE_TO_DTYPE[t]).reshape(shape)
-            # native byte order copies for downstream use (this is the only
-            # point the variable's mapped pages are touched)
-            native = arr.astype(arr.dtype.newbyteorder("="))
-            ds.variables[nm] = (dnames, native)
+            # store the mmap-backed big-endian VIEW: Dataset.__getitem__
+            # converts (and caches) on first access, so untouched variables
+            # never leave their mapped pages (true multi-GiB laziness)
+            ds.variables[nm] = (dnames, arr)
     return ds

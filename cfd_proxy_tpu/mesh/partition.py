@@ -27,7 +27,7 @@ from cfd_proxy_tpu.mesh.model import CommEntry, MeshPartition
 from cfd_proxy_tpu.utils.errors import check
 
 
-def rcb_assign(coords: np.ndarray, npart: int, *, _ids=None) -> np.ndarray:
+def rcb_assign(coords: np.ndarray, npart: int) -> np.ndarray:
     """Recursive coordinate bisection: returns owner partition per point.
 
     Splits along the widest axis at the weighted fraction, so any npart works
@@ -36,14 +36,15 @@ def rcb_assign(coords: np.ndarray, npart: int, *, _ids=None) -> np.ndarray:
     both paths break coordinate ties deterministically, by different rules).
     """
     N = coords.shape[0]
-    if _ids is None:
-        from cfd_proxy_tpu.native import rcb_assign_c
+    check(0 < npart <= N,
+          "npart %d must be in [1, npoint=%d] (every partition needs at "
+          "least one point)", npart, N)
+    from cfd_proxy_tpu.native import rcb_assign_c
 
-        native = rcb_assign_c(coords, npart)
-        if native is not None:
-            return native
+    native = rcb_assign_c(coords, npart)
+    if native is not None:
+        return native
     owner = np.zeros(N, dtype=np.int32)
-    ids = np.arange(N) if _ids is None else _ids
 
     def rec(idx: np.ndarray, lo: int, hi: int) -> None:
         nparts = hi - lo
@@ -56,21 +57,23 @@ def rcb_assign(coords: np.ndarray, npart: int, *, _ids=None) -> np.ndarray:
         k = (idx.size * n1) // nparts
         vals = c[:, axis]
         if 0 < k < idx.size:
-            # O(N) selection: same left/right membership as a stable sort
-            # whenever the cut value is unique; ties (e.g. jitter=0 grids)
-            # fall back to the stable sort so membership stays the historic
-            # deterministic one (committed fixtures depend on it).  The tie
-            # probe compares the LEFT partition's max (argpartition only
-            # guarantees position k, not the layout around it)
+            # O(N) selection: same left/right membership as a tie-broken
+            # sort whenever the cut value is unique; ties (e.g. jitter=0
+            # grids) fall back to a sort whose tie-break is the GLOBAL
+            # point id (lexsort), so membership never depends on the
+            # layout argpartition happened to hand an ancestor cut —
+            # argpartition's order around k is unspecified and can change
+            # across numpy versions.  The tie probe compares the LEFT
+            # partition's max (argpartition only guarantees position k)
             ord_ = np.argpartition(vals, k)
             if vals[ord_[:k]].max() == vals[ord_[k]]:
-                ord_ = np.argsort(vals, kind="stable")
+                ord_ = np.lexsort((idx, vals))
         else:
-            ord_ = np.argsort(vals, kind="stable")
+            ord_ = np.lexsort((idx, vals))
         rec(idx[ord_[:k]], lo, lo + n1)
         rec(idx[ord_[k:]], lo + n1, hi)
 
-    rec(ids, 0, npart)
+    rec(np.arange(N), 0, npart)
     return owner
 
 

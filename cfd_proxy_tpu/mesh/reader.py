@@ -87,6 +87,15 @@ def read_partition(path: str) -> MeshPartition:
         rcount = ds["recvcount"]
         sendidx = ds["sendidx"] if "sendidx" in ds.variables else np.zeros(0, np.int32)
         recvidx = ds["recvidx"] if "recvidx" in ds.variables else np.zeros(0, np.int32)
+        # counts must cover the concatenated index arrays exactly — numpy
+        # slicing clamps silently, so an inconsistent/truncated file would
+        # otherwise surface as a confusing comm mismatch on another rank
+        check(int(scount.sum()) == sendidx.size,
+              "%s: sendcount sums to %d but sendidx holds %d entries",
+              path, int(scount.sum()), sendidx.size)
+        check(int(rcount.sum()) == recvidx.size,
+              "%s: recvcount sums to %d but recvidx holds %d entries",
+              path, int(rcount.sum()), recvidx.size)
         soff = np.concatenate([[0], np.cumsum(scount)])
         roff = np.concatenate([[0], np.cumsum(rcount)])
         for i in range(partners.size):

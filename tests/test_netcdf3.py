@@ -141,3 +141,71 @@ def test_partition_written_by_scipy_reads_back(tmp_path):
     np.testing.assert_array_equal(p2.global_ids, part.global_ids)
     np.testing.assert_allclose(p2.normals, part.normals)
     assert p2.nowned == part.nowned
+
+
+def test_writer_rejects_silent_data_loss(tmp_path):
+    """Codec guards: multi-char strings (NC_CHAR keeps one byte), uint32
+    (NC_INT is signed), and zero-length dims (read back as the record dim
+    by standard tools) must all fail loudly instead of corrupting."""
+    import pytest
+
+    from cfd_proxy_tpu.utils.errors import CheckError
+
+    ds = netcdf3.Dataset()
+    ds.add("names", ("n",), np.array(["abc", "defg"]))
+    with pytest.raises(ValueError, match="single-byte"):
+        netcdf3.write(str(tmp_path / "a.nc"), ds)
+
+    ds = netcdf3.Dataset()
+    ds.add("x", ("d",), np.array([3_000_000_000], np.uint32))
+    with pytest.raises(ValueError, match="uint32"):
+        netcdf3.write(str(tmp_path / "b.nc"), ds)
+
+    ds = netcdf3.Dataset()
+    ds.add("y", ("empty",), np.zeros(0, np.int32))
+    with pytest.raises(CheckError, match="zero-length"):
+        netcdf3.write(str(tmp_path / "c.nc"), ds)
+
+
+def test_reader_lazy_then_cached(tmp_path):
+    """The read path stores mmap-backed big-endian views; __getitem__
+    converts to a native-order (writeable) copy on first access and caches."""
+    ds = netcdf3.Dataset()
+    ds.add("v", ("n",), np.arange(5, dtype=np.int32))
+    path = str(tmp_path / "lazy.nc")
+    netcdf3.write(path, ds)
+    rd = netcdf3.read(path)
+    stored = rd.variables["v"][1]
+    assert stored.dtype.byteorder == ">"       # untouched: still the view
+    got = rd["v"]
+    assert got.dtype.byteorder in ("=", "|", "<")
+    assert got.flags.writeable
+    assert rd["v"] is got                      # cached after first access
+    np.testing.assert_array_equal(got, np.arange(5))
+
+
+def test_reader_rejects_mismatched_comm_counts(tmp_path):
+    """A file whose sendcount sum disagrees with the sendidx length must be
+    rejected at read time (numpy slicing would clamp silently)."""
+    import pytest
+
+    from cfd_proxy_tpu.mesh.generator import generate_mesh
+    from cfd_proxy_tpu.mesh.partition import partition_mesh
+    from cfd_proxy_tpu.mesh.reader import read_partition, write_partition
+    from cfd_proxy_tpu.utils.errors import CheckError
+
+    mesh = generate_mesh(5, 4, 4, seed=9)
+    parts = partition_mesh(mesh, 2)
+    path = str(tmp_path / "p.nc")
+    write_partition(path, parts[0])
+    ds = netcdf3.read(path)
+    bad = netcdf3.Dataset()
+    bad.attrs = dict(ds.attrs)
+    for name, (dims, _arr) in ds.variables.items():
+        arr = ds[name]
+        if name == "sendcount":
+            arr = arr + 1       # counts no longer cover sendidx
+        bad.add(name, dims, arr)
+    netcdf3.write(path, bad)
+    with pytest.raises(CheckError, match="sendcount"):
+        read_partition(path)
