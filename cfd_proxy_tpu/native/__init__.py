@@ -48,9 +48,21 @@ def lib():
             tmp.close()
             shutil.copy2(_SO, tmp.name)
             L = _bind(tmp.name)
+            # the mapping stays valid after unlink on Linux; clean the temp
+            # copy up at exit so repeated stale-path hits don't litter /tmp
+            import atexit
+
+            atexit.register(lambda p=tmp.name: _quiet_unlink(p))
         except OSError:
             L = None
     return L
+
+
+def _quiet_unlink(path):
+    try:
+        os.unlink(path)
+    except OSError:
+        pass
 
 
 def _bind(path):
@@ -78,7 +90,7 @@ def _declare(L):
     L.cfd_plan_fill.restype = ctypes.c_int
     L.cfd_plan_fill.argtypes = [
         i32p, ctypes.c_int64, f64p, u8p, ctypes.c_int64, ctypes.c_int32,
-        ctypes.c_int32, ctypes.c_int32, i32p, f32p, i32p, i32p,
+        ctypes.c_int32, ctypes.c_int32, i32p, i32p, f32p, i32p, i32p,
     ]
     L.cfd_golden_gg.restype = ctypes.c_int
     L.cfd_golden_gg.argtypes = [

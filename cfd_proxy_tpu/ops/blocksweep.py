@@ -238,32 +238,37 @@ def _build_block_plan_native(faces, normals, npoint_dev, inv_scale, bp,
         check(pads[1] >= ks, "pads kslots %d < required %d", pads[1], ks)
         ep, ks = pads
 
-    slot_idx = np.zeros((nblk_total, ks, bp), np.int32)
-    slot_w = np.zeros((nblk_total, ks, 3, bp), np.float32)
-    ext_idx = np.zeros((nblk_total, ep), np.int32)
-    ext_cnt = np.zeros(nblk_total, np.int32)
-    rc = L.cfd_plan_fill(
-        ptr(faces_c, ctypes.c_int32), F, ptr(normals_c, ctypes.c_double),
-        sel_p, npoint_dev, bp, ks, ep,
-        ptr(slot_idx, ctypes.c_int32), ptr(slot_w, ctypes.c_float),
-        ptr(ext_idx, ctypes.c_int32), ptr(ext_cnt, ctypes.c_int32),
-    )
-    check(rc == 0, "cfd_plan_fill failed rc=%d", rc)
-
     if all_blocks:
         blocks = np.arange(nblk_total)
     else:
         blocks = np.flatnonzero(touched)
         if blocks.size == 0:
             blocks = np.zeros(1, np.int64)
-    scale = np.zeros((len(blocks), 1, bp), np.float32)
+    # the C fill writes COMPACT rows via this map — a sparse face class on a
+    # big padded shard allocates only its touched blocks, like the NumPy path
+    blk_pos = np.full(nblk_total, -1, np.int32)
+    blk_pos[blocks] = np.arange(len(blocks), dtype=np.int32)
+    nrows = len(blocks)
+    slot_idx = np.zeros((nrows, ks, bp), np.int32)
+    slot_w = np.zeros((nrows, ks, 3, bp), np.float32)
+    ext_idx = np.zeros((nrows, ep), np.int32)
+    ext_cnt = np.zeros(nrows, np.int32)
+    rc = L.cfd_plan_fill(
+        ptr(faces_c, ctypes.c_int32), F, ptr(normals_c, ctypes.c_double),
+        sel_p, npoint_dev, bp, ks, ep, ptr(blk_pos, ctypes.c_int32),
+        ptr(slot_idx, ctypes.c_int32), ptr(slot_w, ctypes.c_float),
+        ptr(ext_idx, ctypes.c_int32), ptr(ext_cnt, ctypes.c_int32),
+    )
+    check(rc == 0, "cfd_plan_fill failed rc=%d", rc)
+
+    scale = np.zeros((nrows, 1, bp), np.float32)
     for bi, b in enumerate(blocks):
         scale[bi, 0, :] = inv_scale[b * bp : (b + 1) * bp]
     return BlockPlan(
-        npoint_dev=npoint_dev, bp=bp, ep=ep, kslots=ks, nblocks=len(blocks),
+        npoint_dev=npoint_dev, bp=bp, ep=ep, kslots=ks, nblocks=nrows,
         block_ids=blocks.astype(np.int32),
-        slot_idx=slot_idx[blocks], slot_w=slot_w[blocks],
-        ext_idx=ext_idx[blocks], scale=scale, ext_cnt=ext_cnt[blocks],
+        slot_idx=slot_idx, slot_w=slot_w,
+        ext_idx=ext_idx, scale=scale, ext_cnt=ext_cnt,
     )
 
 

@@ -23,6 +23,7 @@
 #include <cstdint>
 #include <cstring>
 #include <thread>
+#include <utility>
 #include <vector>
 
 extern "C" {
@@ -34,11 +35,18 @@ int cfd_golden_gg(const double* var, int64_t npoint, int32_t nvar,
     if (npoint <= 0 || nvar <= 0 || nface < 0) return 1;
     const int64_t stride = (int64_t)nvar * 3;
 
+    // validate endpoints up front: the NumPy golden (np.add.at) RAISES on an
+    // out-of-range index — silently skipping faces here would inflate the
+    // benchmark denominator (faces/sec over work never done)
+    for (int64_t f = 0; f < nface; ++f) {
+        const int64_t p0 = faces[2 * f], p1 = faces[2 * f + 1];
+        if (p0 < 0 || p0 >= npoint || p1 < 0 || p1 >= npoint) return 2;
+    }
+
     auto run = [&](int64_t f0, int64_t f1, double* g) {
         for (int64_t f = f0; f < f1; ++f) {
             const int64_t p0 = faces[2 * f];
             const int64_t p1 = faces[2 * f + 1];
-            if (p0 < 0 || p0 >= npoint || p1 < 0 || p1 >= npoint) continue;
             const double nx = normals[3 * f];
             const double ny = normals[3 * f + 1];
             const double nz = normals[3 * f + 2];
@@ -63,24 +71,39 @@ int cfd_golden_gg(const double* var, int64_t npoint, int32_t nvar,
         return 0;
     }
 
-    // private accumulators + face-ordered reduction (bit == sequential)
+    // private accumulators + thread-ordered reduction.  NOT bit-identical
+    // to the sequential loop (per-thread partials are pre-summed before the
+    // reduction, regrouping any point whose faces span thread ranges) —
+    // this mode is a PERFORMANCE denominator only; the bit-match gate runs
+    // at nthreads==1 (see file header).
     const int T = nthreads;
-    std::vector<std::vector<double>> priv(
-        T - 1, std::vector<double>(npoint * stride, 0.0));
-    std::vector<std::thread> ts;
     const int64_t chunk = (nface + T - 1) / T;
+    std::vector<std::pair<int64_t, int64_t>> ranges;
     for (int t = 1; t < T; ++t) {
         const int64_t f0 = t * chunk;
         const int64_t f1 = std::min<int64_t>(nface, (t + 1) * chunk);
-        if (f0 >= f1) continue;
-        ts.emplace_back([&, t, f0, f1] { run(f0, f1, priv[t - 1].data()); });
+        if (f0 < f1) ranges.emplace_back(f0, f1);
+    }
+    // allocate only for threads that actually run; a failed multi-GB
+    // allocation must surface as an error code, not a bad_alloc unwinding
+    // through the C ABI into ctypes (which aborts the process)
+    std::vector<std::vector<double>> priv;
+    try {
+        priv.reserve(ranges.size());
+        for (size_t i = 0; i < ranges.size(); ++i)
+            priv.emplace_back(npoint * stride, 0.0);
+    } catch (const std::bad_alloc&) {
+        return 3;
+    }
+    std::vector<std::thread> ts;
+    for (size_t i = 0; i < ranges.size(); ++i) {
+        const int64_t f0 = ranges[i].first, f1 = ranges[i].second;
+        ts.emplace_back([&, i, f0, f1] { run(f0, f1, priv[i].data()); });
     }
     run(0, std::min<int64_t>(nface, chunk), grad);  // thread 0 in place
     for (auto& th : ts) th.join();
-    for (int t = 1; t < T; ++t) {
-        const double* p = priv[t - 1].data();
+    for (auto& p : priv)
         for (int64_t i = 0; i < npoint * stride; ++i) grad[i] += p[i];
-    }
     return 0;
 }
 

@@ -94,3 +94,38 @@ def test_native_ghosts_reject_corrupt_faces():
     faces = np.array([[0, 1], [2, 99]], np.int32)   # endpoint 99 >= N
     owner = np.zeros(4, np.int32)
     assert ghost_closure_c(faces, owner, 1, 1) is None
+
+
+def test_native_plan_rejects_corrupt_faces():
+    """cfd_plan_sizes/fill must reject out-of-range endpoints with an error
+    code (CheckError through the wrapper), not scribble past heap buffers —
+    the same convention cfd_ghosts_run follows."""
+    import pytest
+
+    from cfd_proxy_tpu.native import lib
+    from cfd_proxy_tpu.ops import blocksweep as bs
+    from cfd_proxy_tpu.utils.errors import CheckError
+
+    if lib() is None:
+        pytest.skip("native library unavailable")
+    faces = np.array([[0, 1], [2, 10**6]], np.int32)   # endpoint >= ndev
+    normals = np.ones((2, 3), np.float64)
+    inv = np.ones(256)
+    with pytest.raises(CheckError, match="cfd_plan_sizes"):
+        bs._build_block_plan_native(faces, normals, 256, inv, 128,
+                                    None, True, None)
+
+
+def test_native_golden_rejects_corrupt_faces():
+    """golden_gg_c returns None on out-of-range endpoints (np.add.at would
+    raise) instead of silently skipping faces and inflating faces/sec."""
+    import pytest
+
+    from cfd_proxy_tpu.native import golden_gg_c, lib
+
+    if lib() is None:
+        pytest.skip("native library unavailable")
+    var = np.ones((4, 2))
+    faces = np.array([[0, 1], [2, 99]], np.int32)
+    normals = np.ones((2, 3))
+    assert golden_gg_c(var, faces, normals) is None
