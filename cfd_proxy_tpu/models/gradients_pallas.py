@@ -59,6 +59,11 @@ from cfd_proxy_tpu.utils.errors import check
 
 AXIS = "shard"
 CLASSES = ("bulk", "boundary", "interior")
+# which source-table classes each schedule's step graph reads
+SCHEDULE_CLASSES = {
+    "bulk": ("bulk",), "nocomm": ("bulk",),
+    "early": ("boundary", "interior"), "overlap": ("boundary", "interior"),
+}
 
 
 def _shard_map(fn, mesh, in_specs, out_specs):
@@ -75,6 +80,33 @@ def _shard_map(fn, mesh, in_specs, out_specs):
 
 def _sq(tree):
     return jax.tree_util.tree_map(lambda a: a[0], tree)
+
+
+def _pad_plan_dims(plan: BlockPlan, ep: int, kslots: int) -> BlockPlan:
+    """Zero-pad a plan's per-block tables to uniform (ep, kslots).
+
+    Pure padding is EQUIVALENT to rebuilding with pads=(ep, kslots): ext
+    W-indices (bp+rank) depend only on the block's own sorted ext list, and
+    extra slots carry zero weights (inert)."""
+    import dataclasses
+
+    if (plan.ep, plan.kslots) == (ep, kslots):
+        return plan
+
+    def pad(a, axis, to):
+        grow = to - a.shape[axis]
+        if grow == 0:
+            return a
+        widths = [(0, 0)] * a.ndim
+        widths[axis] = (0, grow)
+        return np.pad(a, widths)
+
+    return dataclasses.replace(
+        plan, ep=ep, kslots=kslots,
+        slot_idx=pad(plan.slot_idx, 1, kslots),
+        slot_w=pad(plan.slot_w, 1, kslots),
+        ext_idx=pad(plan.ext_idx, 1, ep),
+    )
 
 
 def _pad_blocks(plan: BlockPlan, nblocks: int, trash_block: int) -> BlockPlan:
@@ -230,30 +262,32 @@ class GreenGaussPallas:
             ep = max(pl.ep for pl in raw[c])
             ks = max(pl.kslots for pl in raw[c])
             nb = max(pl.nblocks for pl in raw[c])
-            rebuilt = []
-            for (fd, nd, fd_ord, nd_ord, inv, bsel), pl0 in zip(face_sets, raw[c]):
-                if c == "bulk":
-                    pl1 = build_block_plan(fd_ord, nd_ord, lay.ndev, inv,
-                                           bp=bp, all_blocks=True, pads=(ep, ks))
-                elif c == "boundary":
-                    pl1 = build_block_plan(fd, nd, lay.ndev, ones, bp=bp,
-                                           face_sel=bsel, pads=(ep, ks))
-                else:
-                    pl1 = build_block_plan(fd, nd, lay.ndev, inv, bp=bp,
-                                           face_sel=~bsel, all_blocks=True,
-                                           pads=(ep, ks))
-                rebuilt.append(_pad_blocks(pl1, nb, lay.ndev // bp - 1))
+            # expand each shard's plan to the uniform (ep, ks) by pure
+            # zero-padding — growing ep appends zero ext columns (W-indices
+            # are unchanged: ext ranks only depend on the block's own sorted
+            # ext list) and growing kslots appends zero-weight slots, so a
+            # full plan REBUILD (the dominant host-setup cost) is never
+            # needed for the second pass
+            padded = [_pad_plan_dims(pl0, ep, ks) for pl0 in raw[c]]
+            padded = [_pad_blocks(pl1, nb, lay.ndev // bp - 1)
+                      for pl1 in padded]
             self._dims[c] = (ep, ks, nb)
-            self._plans_dev[c] = self._stack_plans(rebuilt)
+            self._plans_dev[c] = self._stack_plans(padded)
+        del raw, face_sets
 
-        self._send_idx = jax.device_put(jnp.asarray(lay.send_idx), self._sharding)
-        self._send_mask = jax.device_put(jnp.asarray(lay.send_mask), self._sharding)
+        def put(arr):
+            # host numpy → sharded device arrays in ONE placement; an eager
+            # jnp.asarray hop would first commit the full P-stacked array to
+            # device 0 (double transfer + a P× memory spike there)
+            return jax.device_put(np.ascontiguousarray(arr), self._sharding)
+
+        self._send_idx = put(lay.send_idx)
+        self._send_mask = put(lay.send_mask)
         # pack-time volume scaling for the UNSCALED boundary sums (f32 cast
         # matches the bulk kernel's scale multiply operand bit-for-bit)
-        self._pack_scale = jax.device_put(
-            pack_scale.astype(np.float32), self._sharding)
-        self._dsts = jax.device_put(jnp.asarray(lay.dsts), self._sharding)
-        self._srcs = jax.device_put(jnp.asarray(lay.srcs), self._sharding)
+        self._pack_scale = put(pack_scale.astype(np.float32))
+        self._dsts = put(lay.dsts)
+        self._srcs = put(lay.srcs)
         # any phase with a real transfer? → the fused RDMA overlap kernel is
         # meaningful; otherwise overlap degrades to the early graph.
         # force_rdma keeps the fused kernel even with no real transfers: the
@@ -262,18 +296,26 @@ class GreenGaussPallas:
         # make_async_remote_copy path on a single real chip — the hardware
         # proof of the GASPI-analogue mechanism (VERDICT r1 item 2)
         self._has_comm = any(len(p) for p in lay.perms) or force_rdma
+        # transport routing for the fused-RDMA overlap kernel: the in-kernel
+        # make_async_remote_copy path is an ICI mechanism — inter-slice (DCN)
+        # phases are NOT ICI-reachable and must ride XLA collectives
+        # (ppermute) instead, fired before the fused interior sweep so the
+        # compiler can hide them the same way.  Padded self-send phases count
+        # as ICI (local copies).
+        self._ici_phases = [k for k in range(lay.nphases)
+                            if not bool(lay.inter_slice[k])]
+        self._dcn_phases = [k for k in range(lay.nphases)
+                            if bool(lay.inter_slice[k])]
         self._step_cache: dict = {}
 
     def _stack_plans(self, plans: list[BlockPlan]) -> dict:
-        def put(arr):
-            return jax.device_put(jnp.asarray(arr), self._sharding)
-
         def stack(key, dtype):
-            return put(np.stack([getattr(p, key) for p in plans]).astype(dtype))
+            # host numpy placed directly with the sharding (see __init__'s
+            # put(): no eager jnp.asarray hop through device 0)
+            host = np.stack([getattr(p, key) for p in plans]).astype(dtype)
+            return jax.device_put(host, self._sharding)
 
-        import jax.numpy as _jnp
-
-        w_dtype = (_jnp.bfloat16 if self.meta_dtype == "bfloat16"
+        w_dtype = (jnp.bfloat16 if self.meta_dtype == "bfloat16"
                    else np.float32)
         return {
             "block_ids": stack("block_ids", np.int32),
@@ -285,12 +327,40 @@ class GreenGaussPallas:
 
     # ---------------------------------------------------------------- state
 
-    def distribute_state(self, gvar: np.ndarray) -> dict:
+    def _classes_for(self, schedules) -> tuple:
+        """Table classes needed by a set of schedules (None → all).
+
+        The packed srcs tables are the largest arrays in the system (one
+        (nblocks, K, NV, bp) per class); a run that only ever steps one
+        schedule can skip 1-2 of the 3 and keep the HBM for mesh capacity."""
+        if schedules is None:
+            return CLASSES
+        need = set()
+        for s in schedules:
+            check(s in SCHEDULE_CLASSES, "unknown schedule %r", s)
+            need.update(SCHEDULE_CLASSES[s])
+        return tuple(c for c in CLASSES if c in need)
+
+    def _table_stub(self) -> jax.Array:
+        """Inert placeholder for a table class the state does not carry (the
+        step graph for the state's own schedules never reads it)."""
+        if "_stub" not in self._step_cache:
+            P_ = len(self.parts)
+            self._step_cache["_stub"] = jax.device_put(
+                np.zeros((P_, 1, 1, 1, 1), np.float32), self._sharding)
+        return self._step_cache["_stub"]
+
+    def distribute_state(self, gvar: np.ndarray, *,
+                         schedules: list | None = None) -> dict:
         """Global (N, nvar) state → stacked var_T + pre-gathered slot tables
         (ext columns for the gather kernel; full slot sources for packed).
 
         Ghost var values are filled host-side (state is static across the
         benchmark loop; the timed exchange moves gradients — SURVEY.md §4.2).
+
+        schedules: restrict the built table classes to what these schedules
+        read (default: all three classes — any schedule steppable).  Stepping
+        a schedule whose class was not built raises.
         """
         lay = self.layout
         vts = []
@@ -298,7 +368,9 @@ class GreenGaussPallas:
             vts.append(device_state(
                 gvar[p.global_ids].astype(np.float32), p, lay, NV))
         var_T = jax.device_put(jnp.stack(vts), self._sharding)
-        return {"var_T": var_T, **self._build_tables(var_T)}
+        classes = self._classes_for(schedules)
+        return {"var_T": var_T, "_classes": classes,
+                **self._build_tables(var_T, classes)}
 
     def _var_exchange_fn(self):
         """Cached jitted var halo exchange (ghost columns refreshed from
@@ -313,7 +385,8 @@ class GreenGaussPallas:
             self._step_cache["var_exchange"] = jax.jit(fn)
         return self._step_cache["var_exchange"]
 
-    def refresh_state(self, var_T: jax.Array) -> dict:
+    def refresh_state(self, var_T: jax.Array, *,
+                      schedules: list | None = None) -> dict:
         """Solver-mode state update: given a stacked var_T whose OWNED columns
         were updated on device (e.g. pseudo-time stepping), redo the var halo
         exchange (ghost columns) and rebuild the per-block ext tables.
@@ -321,10 +394,12 @@ class GreenGaussPallas:
         The benchmark loop itself never needs this (the reference's timed
         iteration exchanges gradients over a static state; SURVEY.md §4.2) —
         it is the API a real solver built on this framework would call once
-        per time step."""
+        per time step.  schedules: as in distribute_state."""
         var_T = self._var_exchange_fn()(
             var_T, self._send_idx, self._send_mask)
-        return {"var_T": var_T, **self._build_tables(var_T)}
+        classes = self._classes_for(schedules)
+        return {"var_T": var_T, "_classes": classes,
+                **self._build_tables(var_T, classes)}
 
     def _build_tables_fn(self, classes: tuple = CLASSES):
         """Cached jitted per-class table rebuild:
@@ -360,19 +435,20 @@ class GreenGaussPallas:
             self._step_cache[key] = jax.jit(fn)
         return self._step_cache[key]
 
-    def _build_tables(self, var_T: jax.Array) -> dict:
+    def _build_tables(self, var_T: jax.Array,
+                      classes: tuple = CLASSES) -> dict:
         """Per-class pre-gathered tables: ext columns (gather kernel) or full
         slot sources (packed kernel).  Off the timed hot loop; for packed the
         sources are packed by a Pallas kernel at sweep speed (pack_srcs) from
         the small RCB-local ext tables — XLA's gather lowering alone costs
-        ~90 ms per state update at 2.8M faces."""
-        t_bulk, t_b, t_i = self._build_tables_fn()(
-            var_T,
-            self._plans_dev["bulk"],
-            self._plans_dev["boundary"],
-            self._plans_dev["interior"],
-        )
-        return {"tbl_bulk": t_bulk, "tbl_boundary": t_b, "tbl_interior": t_i}
+        ~90 ms per state update at 2.8M faces.  Classes not requested get an
+        inert stub (never read by the requested schedules' step graphs)."""
+        built = self._build_tables_fn(classes)(
+            var_T, *[self._plans_dev[c] for c in classes])
+        out = {f"tbl_{c}": t for c, t in zip(classes, built)}
+        for c in CLASSES:
+            out.setdefault(f"tbl_{c}", self._table_stub())
+        return out
 
     # ---------------------------------------------------------------- steps
 
@@ -423,28 +499,44 @@ class GreenGaussPallas:
                         # bulk grads are already volume-scaled: mask only
                         bufs = self._exchange_start(g, sidx, smask)
                         g = self._exchange_finish(g, bufs)
-                elif schedule == "overlap" and self._has_comm:
+                elif (schedule == "overlap" and self._has_comm
+                      and self._ici_phases):
                     # full-overlap: fused interior sweep + in-kernel RDMA push
+                    # for ICI phases; DCN (inter-slice) phases ride ppermute,
+                    # fired BEFORE the fused kernel so XLA can hide them under
+                    # the same interior compute
+                    ici, dcn = self._ici_phases, self._dcn_phases
                     zeros = jnp.zeros((out_rows(self.op), lay.ndev), jnp.float32)
                     gb = self._sweep("boundary", v, e_b[0], _sq(pbd), init=zeros)
                     # boundary sums are UNSCALED; apply 1/V at pack time
-                    sendbufs = jnp.stack([
-                        jnp.take(gb, sidx[k], axis=1) * pscale[k][None, :]
-                        for k in range(lay.nphases)
-                    ])
+                    def pack(k):
+                        return jnp.take(gb, sidx[k], axis=1) * pscale[k][None, :]
+
+                    dcn_out = {k: jax.lax.ppermute(pack(k), AXIS,
+                                                   list(lay.perms[k]))
+                               for k in dcn}
+                    sendbufs = jnp.stack([pack(k) for k in ici])
+                    sel = np.asarray(ici, np.int32)
                     ep, ks, nb = self._dims["interior"]
                     pa = dict(_sq(pi))
                     pa["srcs" if self.packed else "exts"] = e_i[0]
                     g, recv = sweep_blocks_overlap(
                         v, pa, bp=self.bp, ep=ep, kslots=ks, nblocks=nb,
-                        init=gb, sendbufs=sendbufs, dsts=dsts[0], srcs=srcs[0],
+                        init=gb, sendbufs=sendbufs, dsts=dsts[0][sel],
+                        srcs=srcs[0][sel],
                         interpret=self.interpret, op=self.op,
                         packed=self.packed, src_format=self.src_format,
                     )
-                    for k in range(lay.nphases):
+                    for j, k in enumerate(ici):
                         g = jax.lax.dynamic_update_slice(
-                            g, recv[k], (0, lay.ghost_start + k * lay.s_max))
-                else:  # early (or overlap with no comm)
+                            g, recv[j], (0, lay.ghost_start + k * lay.s_max))
+                    for k in dcn:
+                        g = jax.lax.dynamic_update_slice(
+                            g, dcn_out[k],
+                            (0, lay.ghost_start + k * lay.s_max))
+                else:  # early (or overlap with no comm / no ICI phase —
+                       # a pure-DCN topology has nothing for the fused
+                       # in-kernel RDMA path to carry)
                     zeros = jnp.zeros((out_rows(self.op), lay.ndev), jnp.float32)
                     gb = self._sweep("boundary", v, e_b[0], _sq(pbd), init=zeros)
                     bufs = self._exchange_start(gb, sidx, pscale)
@@ -470,6 +562,18 @@ class GreenGaussPallas:
         )
 
     def step(self, state: dict, schedule: str = "overlap", **_kw):
+        # the Pallas backend has no f64 'exact' mode (that is the XLA
+        # GreenGaussModel's contract) — silently returning FMA-contracted
+        # f32 to a caller who asked for the bit-gated semantics would be a
+        # wrong-numeric-contract result with no error
+        check(not _kw.get("exact"),
+              "exact mode is the XLA backend's; use GreenGaussModel "
+              "(--backend xla --dtype float64) for the bit-gated path")
+        have = state.get("_classes", CLASSES)
+        check(all(c in have for c in SCHEDULE_CLASSES.get(schedule, ())),
+              "state carries table classes %r but schedule %r needs %r — "
+              "distribute_state(schedules=...) must include it", have,
+              schedule, SCHEDULE_CLASSES.get(schedule))
         return self.step_fn(schedule)(*self.iter_args(state))
 
     def iterate_fn(self, schedule: str, n: int, solver_mode: bool = False,
@@ -487,6 +591,8 @@ class GreenGaussPallas:
         over static state (SURVEY.md §4.2) — so this is reported as a
         separate row, never the headline.
         """
+        check(not _kw.get("exact"),
+              "exact mode is the XLA backend's; use GreenGaussModel")
         if solver_mode:
             return self._solver_iterate_fn(schedule, n)
         key = ("iterate", schedule)

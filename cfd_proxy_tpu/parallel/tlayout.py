@@ -55,6 +55,11 @@ class TLayout:
                            # for interpret-mode collectives and harmless on
                            # hardware: a local copy of masked zeros)
     srcs: np.ndarray       # (P, nphases) i32 — RDMA source device per phase
+    inter_slice: np.ndarray = None  # (nphases,) bool — phase crosses slice
+                           # boundaries (DCN); padded self-send phases are
+                           # False.  The fused in-kernel RDMA path must only
+                           # carry intra-slice (ICI) phases — DCN transfers
+                           # go through XLA collectives (ppermute)
 
     @property
     def ghost_start(self) -> int:
@@ -84,6 +89,7 @@ def build_tlayout(
         lm[: p.nowned] = np.arange(p.nowned)
         locmap.append(lm)
 
+    inter_slice = np.zeros(nphases, dtype=bool)
     send_idx = np.zeros((P, nphases, s_max), dtype=np.int32)
     send_mask = np.zeros((P, nphases, s_max), dtype=np.float32)
     dsts = np.full((P, nphases), -1, dtype=np.int32)
@@ -91,6 +97,7 @@ def build_tlayout(
     perms = []
     for k, ph in enumerate(topo.phases):
         perms.append(tuple(ph.perm))
+        inter_slice[k] = bool(ph.inter_slice)
         s = ph.send_idx.shape[1]
         send_idx[:, k, :s] = ph.send_idx
         for (src, _dst) in ph.perm:
@@ -128,7 +135,7 @@ def build_tlayout(
     return TLayout(
         bp=bp, owned_pad=owned_pad, s_max=s_max, nphases=nphases, ndev=ndev,
         perms=perms, locmap=locmap, send_idx=send_idx, send_mask=send_mask,
-        dsts=dsts, srcs=srcs,
+        dsts=dsts, srcs=srcs, inter_slice=inter_slice,
     )
 
 

@@ -219,7 +219,15 @@ def run(cfg: SolverConfig) -> tuple[dict, list[IterationStats]]:
     npoint_total = sum(p.nowned for p in model.parts)
 
     rng_state = make_state(npoint_total, cfg.nvar, seed=cfg.seed + 1)
-    var = model.distribute_state(rng_state)
+    if cfg.backend == "pallas" and cfg.schedule != "all":
+        # single-schedule runs skip the unused table classes (the packed
+        # srcs tables are the largest arrays in HBM); verification also
+        # steps the bulk reference
+        scheds = [cfg.schedule] + (
+            ["bulk"] if cfg.verify and cfg.schedule != "bulk" else [])
+        var = model.distribute_state(rng_state, schedules=scheds)
+    else:
+        var = model.distribute_state(rng_state)
 
     schedules = list(SCHEDULES) if cfg.schedule == "all" else [cfg.schedule]
     all_stats: list[IterationStats] = []

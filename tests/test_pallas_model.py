@@ -252,6 +252,53 @@ def test_pallas_slice_aware_matches(mesh, gvar, gref):
     assert np.abs(outs[4] - outs[None]).max() / denom < 1e-6
 
 
+def test_distribute_state_schedule_subset(mesh, gvar, gref):
+    """distribute_state(schedules=[...]) builds only the table classes those
+    schedules read (the packed srcs tables dominate HBM); stepping an
+    unbuilt schedule raises instead of silently reading a stub."""
+    from cfd_proxy_tpu.utils.errors import CheckError
+
+    parts = partition_mesh(mesh, 4)
+    model = GreenGaussPallas(parts, NVAR, bp=128, interpret=True)
+    state = model.distribute_state(gvar, schedules=["bulk"])
+    assert state["_classes"] == ("bulk",)
+    got = model.gather_global(np.asarray(model.step(state, "bulk")))
+    denom = max(1.0, np.abs(gref).max())
+    assert np.abs(got - gref).max() / denom < 1e-5
+    with pytest.raises(CheckError, match="table classes"):
+        model.step(state, "overlap")
+    # and the subset state must be byte-identical to the full build's table
+    full = model.distribute_state(gvar)
+    np.testing.assert_array_equal(np.asarray(state["tbl_bulk"]),
+                                  np.asarray(full["tbl_bulk"]))
+
+
+def test_overlap_routes_dcn_phases_off_rdma(mesh, gvar, gref):
+    """With a multi-slice topology the fused RDMA kernel must carry ONLY the
+    intra-slice (ICI) phases — make_async_remote_copy is an ICI mechanism and
+    a DCN target is not reachable by it.  DCN phases ride ppermute instead;
+    results must still match golden and the single-slice run."""
+    parts = partition_mesh(mesh, 8)
+    model = GreenGaussPallas(parts, NVAR, bp=128, interpret=True,
+                             slice_size=4)
+    assert model._dcn_phases, "fixture must actually produce DCN phases"
+    assert model._ici_phases, "and ICI phases"
+    assert set(model._ici_phases) | set(model._dcn_phases) == set(
+        range(model.layout.nphases))
+    state = model.distribute_state(gvar)
+    got = model.gather_global(np.asarray(model.step(state, "overlap")))
+    denom = max(1.0, np.abs(gref).max())
+    assert np.abs(got - gref).max() / denom < 1e-5
+    # slice_size=1 makes EVERY real phase inter-slice: overlap must degrade
+    # to the ppermute graph (no ICI phases → nothing for the fused kernel)
+    m1 = GreenGaussPallas(parts, NVAR, bp=128, interpret=True, slice_size=1)
+    real_phases = [k for k, p in enumerate(m1.layout.perms) if p]
+    assert all(k in m1._dcn_phases for k in real_phases)
+    got1 = m1.gather_global(np.asarray(m1.step(m1.distribute_state(gvar),
+                                               "overlap")))
+    assert np.abs(got1 - gref).max() / denom < 1e-5
+
+
 def test_min_phases_multi_self_send(mesh, gvar):
     """min_phases pads the schedule with full self-permutations; the fused
     RDMA overlap with 3 phases must equal the single-phase result bitwise on
