@@ -23,9 +23,13 @@ def main(argv=None) -> int:
     ap.add_argument("--out", default=None, help="write a JSON artifact here")
     args = ap.parse_args(argv)
 
+    # replace any existing device-count flag with an exact token (a naive
+    # substring test lets count=6 match a pre-set count=64 and the artifact
+    # would record a device count the run never used)
     flag = f"--xla_force_host_platform_device_count={args.n}"
-    if flag not in os.environ.get("XLA_FLAGS", ""):
-        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") + " " + flag).strip()
+    toks = [t for t in os.environ.get("XLA_FLAGS", "").split()
+            if not t.startswith("--xla_force_host_platform_device_count=")]
+    os.environ["XLA_FLAGS"] = " ".join(toks + [flag])
     # force, don't setdefault: the axon plugin exports JAX_PLATFORMS=axon and
     # dryrun_multichip's cpu re-forcing keys off this env var
     os.environ["JAX_PLATFORMS"] = "cpu"

@@ -39,12 +39,12 @@ def _sha256(path: str) -> str:
     return h.hexdigest()
 
 
-def build(out_dir: str) -> dict[str, str]:
+def build(out_dir: str, recipe: dict | None = None) -> dict[str, str]:
     from cfd_proxy_tpu.mesh.generator import generate_mesh
     from cfd_proxy_tpu.mesh.partition import partition_mesh
     from cfd_proxy_tpu.mesh.reader import partition_path, write_partition
 
-    r = RECIPE
+    r = recipe or RECIPE
     m = generate_mesh(r["nx"], r["ny"], r["nz"], jitter=r["jitter"],
                       diag_frac=r["diag_frac"], shuffle=r["shuffle"],
                       seed=r["seed"])
@@ -67,8 +67,8 @@ def main(argv=None) -> int:
     ap.add_argument("--manifest", default=MANIFEST)
     args = ap.parse_args(argv)
 
-    hashes = build(args.dir)
     if args.cmd == "generate":
+        hashes = build(args.dir)
         with open(args.manifest, "w") as f:
             json.dump({"recipe": RECIPE, "sha256": hashes}, f, indent=1,
                       sort_keys=True)
@@ -77,7 +77,13 @@ def main(argv=None) -> int:
               f"manifest {args.manifest}")
         return 0
     with open(args.manifest) as f:
-        want = json.load(f)["sha256"]
+        manifest = json.load(f)
+    want = manifest["sha256"]
+    # regenerate with the manifest's STORED recipe — verification must be
+    # reproducible against the committed claim even if the source-default
+    # RECIPE has since changed (recipe drift would otherwise be misreported
+    # as hash corruption)
+    hashes = build(args.dir, recipe=manifest.get("recipe"))
     bad = [k for k in want if hashes.get(k) != want[k]]
     missing = [k for k in hashes if k not in want]
     if bad or missing:

@@ -66,6 +66,23 @@ def cmd_check(args) -> int:
         raise SystemExit(
             f"{args.ref} was dumped with --model {ref_model}; rerun check "
             f"with --model {ref_model} (got {args.model})")
+    # the dump stores its generation config; a check run with different
+    # parameters compares DIFFERENT fields by construction — report that
+    # distinctly (still exit 1: the harness's perturbed-config gate) rather
+    # than misattributing it to a backend numerical bug, or crashing on a
+    # shape mismatch when nx differs
+    drift = {}
+    for key in ("nx", "ny", "nz", "nvar", "seed", "jitter", "diag_frac"):
+        stored = ds.attrs.get(key)
+        ours = {"ny": args.ny or args.nx, "nz": args.nz or args.nx}.get(
+            key, getattr(args, key))
+        if stored is not None and stored != ours:
+            drift[key] = (stored, ours)
+    if drift:
+        print(f"config MISMATCH vs {args.ref}: " + ", ".join(
+            f"{k} dumped={a} check={b}" for k, (a, b) in drift.items())
+            + " — the fields differ by construction")
+        return 1
     ref = ds["gradients"]
     if args.backend == "golden":
         got = _golden(mesh, var, args.model)

@@ -317,6 +317,8 @@ def main(argv=None) -> int:
 
     requested = (args.paired.split(",") if args.paired
                  else args.variants.split(","))
+    if args.paired and len(requested) != 2:
+        ap.error(f"--paired takes exactly two variants, got {requested}")
     for name in requested:
         if name not in variants:
             ap.error(f"unknown variant {name!r} "
@@ -338,9 +340,7 @@ def main(argv=None) -> int:
         # cancels in the abs-sum → 1e-2
         tols = {"prod": 1e-3, "nv7": 1e-3, "w16": 1e-2, "bf16src": 1e-2,
                 "bf16sw": 1e-2, "prod_alt": 1e-3, "bf16sw_alt": 1e-2}
-        names = (args.paired.split(",") if args.paired
-                 else args.variants.split(","))
-        for name in names:
+        for name in requested:
             if name not in tols:       # stream/wsum are not gg semantics
                 continue
             fn, v0, pargs = variants[name]
@@ -355,7 +355,7 @@ def main(argv=None) -> int:
                 rc = 1
 
     if args.paired:
-        a, b = args.paired.split(",")
+        a, b = requested
         sa, sb = sampler(a), sampler(b)
         ratios, ta_all, tb_all = [], [], []
         for r in range(args.repeats):

@@ -49,8 +49,11 @@ def test_scaling_model_runs(capsys):
 
 def test_fixture_generate_and_verify_roundtrip(tmp_path, monkeypatch):
     """fixture tool: generate writes files + manifest; verify regenerates
-    byte-identically; a recipe perturbation must MISMATCH (uses a tiny
-    recipe so the test stays fast)."""
+    byte-identically FROM THE MANIFEST'S STORED RECIPE (so source-recipe
+    drift cannot masquerade as hash corruption); a tampered hash must
+    MISMATCH (tiny recipe so the test stays fast)."""
+    import json as _json
+
     import cfd_proxy_tpu.tools.fixture as fx
 
     tiny = dict(fx.RECIPE, nx=6, ny=6, nz=5, parts=[2])
@@ -60,8 +63,17 @@ def test_fixture_generate_and_verify_roundtrip(tmp_path, monkeypatch):
                     "--manifest", manifest]) == 0
     assert fx.main(["verify", "--dir", str(tmp_path / "b"),
                     "--manifest", manifest]) == 0
+    # source RECIPE drift does NOT break verification of the committed claim
+    # — verify rebuilds from the recipe STORED in the manifest
     monkeypatch.setattr(fx, "RECIPE", dict(tiny, seed=tiny["seed"] + 1))
     assert fx.main(["verify", "--dir", str(tmp_path / "c"),
+                    "--manifest", manifest]) == 0
+    # a tampered hash must be caught
+    m = _json.load(open(manifest))
+    key = next(k for k in m["sha256"] if k != "_mesh")
+    m["sha256"][key] = "0" * 64
+    _json.dump(m, open(manifest, "w"))
+    assert fx.main(["verify", "--dir", str(tmp_path / "d"),
                     "--manifest", manifest]) == 1
 
 
