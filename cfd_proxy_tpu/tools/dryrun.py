@@ -53,7 +53,8 @@ def main(argv=None) -> int:
         "date": time.strftime("%Y-%m-%d"),
         "note": "XLA leg at full device count (all 3 schedules, 2-layer "
                 "ghosts); Pallas interpret leg at min(n,16) shards incl. "
-                "the fused RDMA overlap kernel",
+                "the fused RDMA overlap kernel and a multi-slice overlap "
+                "step (ICI phases in-kernel, DCN phases via ppermute)",
     }
     line = json.dumps(rec)
     print(line)
