@@ -12,7 +12,8 @@ golden if the native lib is absent) — the stand-in denominator until real
 flattering NumPy-denominator figure for comparison with round-1 records.
 
 Env knobs: BENCH_NX (grid edge, default 96 on TPU / 16 on CPU),
-BENCH_ITERS (default 300), BENCH_SCHEDULE (default bulk),
+BENCH_ITERS (default 300), BENCH_SCHEDULE (default: all on TPU — every
+schedule incl. the fused-RDMA overlap is timed — else bulk),
 BENCH_BACKEND (default pallas), BENCH_KERNEL (default packed),
 BENCH_BP (default 4096; paired-scan optimum, BASELINE.md).
 """

@@ -83,7 +83,10 @@ def drive(nx=10, ny=10, nz=8, nparts=None, dt=0.1, target=0.1,
               f"shard(s); dt={dt} schedule={schedule}")
 
     q = make_state(mesh.npoint, 1, seed=1)
-    state1 = grad_model.distribute_state(q)
+    # only `schedule` is ever stepped — skip the unused table classes (the
+    # pack is the dominant per-step cost; gradients_pallas.py solver-mode
+    # guidance)
+    state1 = grad_model.distribute_state(q, schedules=[schedule])
 
     def laplacian(state1):
         grad = grad_model.step(state1, schedule)        # (P, 3·NV, ndev)
@@ -91,7 +94,7 @@ def drive(nx=10, ny=10, nz=8, nparts=None, dt=0.1, target=0.1,
         g3 = grad[:, ::NV, :]                           # (P, 3, ndev)
         var2 = jnp.concatenate(
             [g3, jnp.zeros((nparts, NV - 3, ndev), jnp.float32)], axis=1)
-        state2 = div_model.refresh_state(var2)          # ghost exchange
+        state2 = div_model.refresh_state(var2, schedules=[schedule])
         hess = div_model.step(state2, schedule)
         # trace: ∂x gx + ∂y gy + ∂z gz  (row d·NV+v of the second sweep)
         return hess[:, 0 * NV + 0] + hess[:, 1 * NV + 1] + hess[:, 2 * NV + 2]
@@ -101,6 +104,7 @@ def drive(nx=10, ny=10, nz=8, nparts=None, dt=0.1, target=0.1,
 
     residuals = []
     status = "max_steps"
+    step = -1
     for step in range(max_steps):
         lap = laplacian(state1)                         # (P, ndev)
         if step % check_every == 0 or step == max_steps - 1:
@@ -108,7 +112,7 @@ def drive(nx=10, ny=10, nz=8, nparts=None, dt=0.1, target=0.1,
             residuals.append(r)
             if verbose:
                 print(f"step {step:3d}: residual {r:.6f}")
-            if not np.isfinite(r) or (len(residuals) > 2
+            if not np.isfinite(r) or (len(residuals) >= 2
                                       and r > 4 * residuals[0]):
                 status = "diverged"
                 break
@@ -123,8 +127,9 @@ def drive(nx=10, ny=10, nz=8, nparts=None, dt=0.1, target=0.1,
         upd_rows = jnp.concatenate(
             [updv[:, None, :],
              jnp.zeros((nparts, NV - 1, ndev), jnp.float32)], axis=1)
-        state1 = grad_model.refresh_state(state1["var_T"] + upd_rows)
-    if verbose:
+        state1 = grad_model.refresh_state(state1["var_T"] + upd_rows,
+                                          schedules=[schedule])
+    if verbose and residuals:
         print(f"{status} after {step + 1} steps "
               f"(residual {residuals[0]:.4f} -> {residuals[-1]:.4f})")
     return status, residuals

@@ -4,7 +4,7 @@ The benchmark (solver.py) times the reference's inner loop — sweep + gradient
 halo exchange over a STATIC state.  A real solver built on this framework
 also UPDATES the state each step; this example shows that loop:
 
-    state = model.distribute_state(q0)
+    state = model.distribute_state(q0, schedules=["overlap"])
     for step in range(nsteps):
         grad = model.step(state, "overlap")     # sweep + halo exchange
         q   -= dt * smoothing(grad)             # toy explicit update
@@ -43,14 +43,14 @@ def main():
     print(f"{mesh.npoint} points, {mesh.nface} faces on {nparts} shard(s)")
 
     q0 = make_state(mesh.npoint, 5, seed=1)
-    state = model.distribute_state(q0)
+    state = model.distribute_state(q0, schedules=["overlap"])
     dt = jnp.float32(1e-3)
 
     for step in range(5):
         grad = model.step(state, "overlap")         # (P, 24, ndev)
         # toy update: subtract the x-gradient plane from the state
         var = state["var_T"] - dt * grad[:, :NV, :]
-        state = model.refresh_state(var)            # var halo + ext rebuild
+        state = model.refresh_state(var, schedules=["overlap"])
         norm = float(jnp.sqrt(jnp.mean(var**2)))
         print(f"step {step}: ||q|| = {norm:.6f}")
 

@@ -8,9 +8,13 @@ distributed tests need no TPU or cluster.  Must run before jax imports.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+# REPLACE any pre-existing device-count flag (a leftover =4 from the README's
+# CLI recipe would otherwise survive and abort the whole session at the
+# device-count assert below) — hermetic means our count wins
+toks = [t for t in os.environ.get("XLA_FLAGS", "").split()
+        if not t.startswith("--xla_force_host_platform_device_count")]
+os.environ["XLA_FLAGS"] = " ".join(
+    toks + ["--xla_force_host_platform_device_count=8"])
 
 import jax  # noqa: E402
 
