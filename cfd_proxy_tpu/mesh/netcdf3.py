@@ -173,6 +173,16 @@ def write(path: str, ds: Dataset, *, version: int | None = None) -> None:
 
     total_data = sum(v[4] for v in var_meta)
 
+    # the CDF-2 spec permits the vsize header field to overflow (clamped
+    # encoding) ONLY for the LAST variable; a >4GiB non-last fixed variable
+    # would produce an out-of-spec header that strict external tools reject
+    # (our own reader seeks by begin offsets and would not notice)
+    for name, _dn, _t, _cast, vsize in var_meta[:-1]:
+        check(vsize <= (1 << 32) - 4,
+              "netcdf3 writer: variable %r is %d bytes; only the LAST "
+              "variable may exceed 2^32-4 bytes in the classic format "
+              "(reorder it last or split it)", name, vsize)
+
     def make_base(version: int) -> bytes:
         header: list[bytes] = [b"CDF", bytes([version]), struct.pack(">i", 0)]
         if dim_names:

@@ -26,6 +26,8 @@ reference's finish-counter guarantee (SURVEY.md §4.3) realised structurally.
 
 from __future__ import annotations
 
+import sys
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -207,7 +209,16 @@ class GreenGaussPallas:
             # op executes eagerly on host — bp=4096 made a 4.6k-point CLI
             # test take 660 s.  1024 keeps traces at the round-2 size.
             cap = min(cap, 1024)
+        self.bp_requested = int(bp)
         self.bp = bp = min(bp, cap)
+        if bp != self.bp_requested:
+            # an explicitly requested bp silently measuring as a different
+            # config misattributes A/B comparisons (advisor finding, round
+            # 2) — say so once, at construction, on stderr
+            why = ("interpret-mode trace cap" if interpret and cap == 1024
+                   else "shard-size cap")
+            print(f"cfd_proxy_tpu: requested bp {self.bp_requested} reduced "
+                  f"to {bp} ({why})", file=sys.stderr)
         self.interpret = interpret
         P_ = len(parts)
         # locality relabel, then topology & device layout

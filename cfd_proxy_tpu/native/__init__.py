@@ -12,6 +12,13 @@ from functools import lru_cache
 
 _SO = os.path.join(os.path.dirname(__file__), "libcfdprep.so")
 
+# Must match native/prep.cc::cfd_abi_version().  Bumped on every exported-
+# signature change so a stale .so fails the handshake in _bind (and is then
+# rebuilt) instead of being called with a mismatched argument list — missing-
+# symbol detection alone cannot catch a signature CHANGE to an existing
+# export (advisor finding, round 2).
+_ABI_VERSION = 3
+
 
 def _make():
     """Best-effort build (the .so is not committed); callers fall back."""
@@ -74,10 +81,14 @@ def _bind(path):
         _declare(L)
     except AttributeError:
         return None
+    if L.cfd_abi_version() != _ABI_VERSION:
+        return None  # stale build: caller rebuilds and retries
     return L
 
 
 def _declare(L):
+    L.cfd_abi_version.restype = ctypes.c_int
+    L.cfd_abi_version.argtypes = []
     i32p = ctypes.POINTER(ctypes.c_int32)
     u8p = ctypes.POINTER(ctypes.c_uint8)
     f32p = ctypes.POINTER(ctypes.c_float)
@@ -166,11 +177,17 @@ def ghost_closure_c(faces, owner, npart: int, ghost_layers: int):
     return ghost_gid, ghost_depth, goff, face_ids, foff
 
 
-def golden_gg_c(var, faces, normals, nthreads: int = 1):
+def golden_gg_c(var, faces, normals, nthreads: int = 1,
+                validate: bool = True):
     """C golden sweep (native/golden.cc) or None if the library is absent.
 
     nthreads==1 is bit-identical to ops/golden.py::compute_gradients_gg;
     threaded mode is the multi-core CPU-baseline denominator (not bit-gated).
+
+    validate=True (default) checks face endpoints in [0, npoint) here,
+    vectorised, and returns None on a bad mesh (np.add.at would raise); the C
+    function itself no longer scans — benchmark timing loops validate once
+    up front and pass validate=False so the denominator times only the sweep.
     """
     import numpy as np
 
@@ -181,6 +198,9 @@ def golden_gg_c(var, faces, normals, nthreads: int = 1):
     faces_c = np.ascontiguousarray(faces, np.int32)
     normals_c = np.ascontiguousarray(normals, np.float64)
     npoint, nvar = var_c.shape
+    if validate and faces_c.size and (
+            faces_c.min() < 0 or faces_c.max() >= npoint):
+        return None
     grad = np.zeros((npoint, nvar, 3), np.float64)
     rc = L.cfd_golden_gg(
         ptr(var_c, ctypes.c_double), npoint, nvar,

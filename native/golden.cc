@@ -29,19 +29,17 @@
 extern "C" {
 
 // grad (npoint, nvar, 3) must be zero-initialised by the caller.
+// CALLER CONTRACT: face endpoints must already be validated in
+// [0, npoint) — the Python wrapper (native/__init__.py::golden_gg_c) does a
+// vectorised check OUTSIDE this call.  An in-function serial O(nface) scan
+// would sit inside the timed region of the CPU-baseline denominator and
+// flatter vs_baseline (advisor finding, round 2); the reference's own C face
+// loop carries no such scan either.
 int cfd_golden_gg(const double* var, int64_t npoint, int32_t nvar,
                   const int32_t* faces, int64_t nface, const double* normals,
                   double* grad, int32_t nthreads) {
     if (npoint <= 0 || nvar <= 0 || nface < 0) return 1;
     const int64_t stride = (int64_t)nvar * 3;
-
-    // validate endpoints up front: the NumPy golden (np.add.at) RAISES on an
-    // out-of-range index — silently skipping faces here would inflate the
-    // benchmark denominator (faces/sec over work never done)
-    for (int64_t f = 0; f < nface; ++f) {
-        const int64_t p0 = faces[2 * f], p1 = faces[2 * f + 1];
-        if (p0 < 0 || p0 >= npoint || p1 < 0 || p1 >= npoint) return 2;
-    }
 
     auto run = [&](int64_t f0, int64_t f1, double* g) {
         for (int64_t f = f0; f < f1; ++f) {

@@ -56,6 +56,14 @@ bool bucket_ext(const int32_t* faces, int64_t nface, const uint8_t* face_sel,
 
 extern "C" {
 
+// ABI handshake: bump whenever ANY exported signature in this library
+// (prep.cc, partition.cc, golden.cc) changes.  The ctypes loader
+// (cfd_proxy_tpu/native/__init__.py::_bind) refuses a library whose version
+// differs from its expected constant, so a stale in-tree .so fails the
+// handshake and flows into the rebuild-via-temp-copy path instead of being
+// called with a mismatched argument list (silent heap corruption).
+int cfd_abi_version(void) { return 3; }
+
 // Pass 1: sizes.  Computes per-class maxima needed to allocate outputs.
 //   kmax_out:   max slots per point
 //   extmax_out: max unique external endpoints per block

@@ -86,6 +86,17 @@ def test_stale_so_missing_symbols_returns_none(tmp_path):
     assert _bind(str(so)) is None
 
 
+def test_stale_so_wrong_abi_version_returns_none(monkeypatch):
+    """A library whose exported signatures changed (same symbol names) is
+    only detectable via the cfd_abi_version handshake; _bind must refuse it
+    so the loader rebuilds instead of calling a mismatched argument list."""
+    import cfd_proxy_tpu.native as nat
+
+    assert nat._bind(nat._SO) is not None          # current build matches
+    monkeypatch.setattr(nat, "_ABI_VERSION", nat._ABI_VERSION + 1)
+    assert nat._bind(nat._SO) is None              # version skew → refused
+
+
 def test_native_ghosts_reject_corrupt_faces():
     """Out-of-range face endpoints must fail cleanly (None), not corrupt the
     CSR heap."""
