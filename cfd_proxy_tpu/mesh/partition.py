@@ -262,12 +262,29 @@ def relabel_owned(part: MeshPartition, new_of_old: np.ndarray) -> MeshPartition:
     return out
 
 
-def rcb_owned_order(part: MeshPartition, *, block: int = 256) -> np.ndarray:
-    """RCB-based locality permutation for the owned points (new id of old)."""
+def rcb_owned_order(part: MeshPartition, *, block: int = 256,
+                    degree_sort: bool = False) -> np.ndarray:
+    """RCB-based locality permutation for the owned points (new id of old).
+
+    degree_sort=True additionally stable-sorts points by incidence count
+    (descending) WITHIN each `block`-sized chunk of the RCB order.  Block
+    membership — and therefore every per-block ext list — is unchanged; only
+    the in-block lane order moves, concentrating high-degree points in the
+    leading 128-lane tiles.  This is what makes the compact packed layout's
+    static prefix widths tight (ops/blocksweep.py::prefix_widths): the ~21%
+    inert padding slots of a valence-skewed mesh drop out of the two
+    dominant kernel streams.  (The round-2 alternative — a global
+    degree-class relabel — exploded ext lists ~5× and was reverted;
+    in-block sorting cannot, by construction.)"""
     nowned = part.nowned
     nblk = max(1, nowned // block)
     blk = rcb_assign(part.coords[:nowned], nblk)
     order = np.argsort(blk, kind="stable")     # old ids in new order
+    if degree_sort:
+        deg = np.bincount(part.faces.ravel(), minlength=part.npoint)[:nowned]
+        pos_blk = np.arange(nowned) // block   # device-block index by POSITION
+        key = np.lexsort((np.arange(nowned), -deg[order], pos_blk))
+        order = order[key]
     new_of_old = np.empty(nowned, dtype=np.int64)
     new_of_old[order] = np.arange(nowned)
     return new_of_old

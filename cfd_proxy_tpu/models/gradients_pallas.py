@@ -43,9 +43,11 @@ from cfd_proxy_tpu.ops.blocksweep import (
     NV,
     BlockPlan,
     build_block_plan,
+    compact_slot_w,
     gather_exts,
     out_rows,
     pack_srcs,
+    prefix_widths,
     sweep_blocks,
     sweep_blocks_overlap,
 )
@@ -157,6 +159,8 @@ class GreenGaussPallas:
         meta_dtype: str = "float32",
         src_dtype: str = "float32",
         min_phases: int = 1,
+        kcompact: bool | None = None,
+        halo_dtype: str = "float32",
     ):
         if interpret is None:
             # Mosaic compiles only for TPU; interpret elsewhere (CPU tests)
@@ -190,6 +194,29 @@ class GreenGaussPallas:
               "--src-dtype bfloat16 requires the packed kernel")
         self.src_dtype = src_dtype
         self.src_format = "bf16d" if src_dtype == "bfloat16" else "f32"
+        # COMPACT packed layout (--kcompact): points are degree-sorted within
+        # each block (block membership, ext lists unchanged) and the slot
+        # tables store only each slot's static lane PREFIX — the ~21% inert
+        # padding of a valence-skewed mesh drops out of the srcs and slot_w
+        # streams (ops/blocksweep.py::prefix_widths).  Packed kernel only
+        # (the gather formulation indexes the full (K, bp) slot rectangles).
+        if kcompact is None:
+            kcompact = self.packed
+        check(not kcompact or self.packed,
+              "--kcompact requires the packed kernel")
+        self.kcompact = bool(kcompact)
+        # bf16 HALO payloads (--halo-dtype bfloat16): the exchanged gradient
+        # buffers are the comm bytes the overlap schedules hide — a pack-time
+        # cast halves them on the wire (ICI RDMA and DCN ppermute alike) and
+        # the unpack upcasts back to f32.  Only ghost-point gradients carry
+        # the ~8-bit rounding (~4e-3 rel bound, gated in tests); owned
+        # gradients are untouched.  The solver-mode VAR exchange stays f32 —
+        # state feeds every downstream sweep and its error would compound.
+        check(halo_dtype in ("float32", "bfloat16"),
+              "halo_dtype must be float32|bfloat16, got %r", halo_dtype)
+        self.halo_dtype = halo_dtype
+        self._halo_jnp = (jnp.bfloat16 if halo_dtype == "bfloat16"
+                          else jnp.float32)
         check(nvar <= NV, "nvar %d > padded NV %d", nvar, NV)
         # the flux kernel reads var[:3] as the velocity vector; with fewer
         # vars the padded zero rows would silently stand in for velocity
@@ -221,8 +248,13 @@ class GreenGaussPallas:
                   f"to {bp} ({why})", file=sys.stderr)
         self.interpret = interpret
         P_ = len(parts)
-        # locality relabel, then topology & device layout
-        self.parts = [relabel_owned(p, rcb_owned_order(p, block=bp)) for p in parts]
+        # locality relabel, then topology & device layout; kcompact adds the
+        # in-block degree sort that makes the compact prefixes tight
+        self.parts = [
+            relabel_owned(p, rcb_owned_order(p, block=bp,
+                                             degree_sort=self.kcompact))
+            for p in parts
+        ]
         npoint_pad = max(p.npoint for p in self.parts) + 1
         # multi-slice: ICI phases scheduled before DCN phases (topology.py)
         topo = build_halo_topology(self.parts, npoint_pad,
@@ -260,14 +292,24 @@ class GreenGaussPallas:
             fd_ord, nd_ord = fd[order], nd[order]
             face_sets.append((fd, nd, fd_ord, nd_ord, inv, bsel))
             pack_scale[d] = lay.send_mask[d] * inv[lay.send_idx[d]]
+            # dst_lt = nowned drops ghost-DESTINATION slots: their sums are
+            # dead by construction (zero-scaled for bulk/interior, and for
+            # the unscaled boundary class never read — every ghost column is
+            # overwritten by the halo unpack or zero-padded), and the
+            # unsortable ghost region would otherwise blunt the compact
+            # prefix widths and inflate kslots/ext lists
             raw["bulk"].append(build_block_plan(fd_ord, nd_ord, lay.ndev, inv,
-                                                bp=bp, all_blocks=True))
+                                                bp=bp, all_blocks=True,
+                                                dst_lt=p.nowned))
             raw["boundary"].append(build_block_plan(fd, nd, lay.ndev, ones,
-                                                    bp=bp, face_sel=bsel))
+                                                    bp=bp, face_sel=bsel,
+                                                    dst_lt=p.nowned))
             raw["interior"].append(build_block_plan(fd, nd, lay.ndev, inv, bp=bp,
-                                                    face_sel=~bsel, all_blocks=True))
+                                                    face_sel=~bsel, all_blocks=True,
+                                                    dst_lt=p.nowned))
 
         self._dims: dict[str, tuple[int, int, int]] = {}
+        self._wks: dict[str, tuple[int, ...] | None] = {}
         self._plans_dev: dict[str, dict] = {}
         for c in CLASSES:
             ep = max(pl.ep for pl in raw[c])
@@ -283,7 +325,12 @@ class GreenGaussPallas:
             padded = [_pad_blocks(pl1, nb, lay.ndev // bp - 1)
                       for pl1 in padded]
             self._dims[c] = (ep, ks, nb)
-            self._plans_dev[c] = self._stack_plans(padded)
+            if self.kcompact:
+                sw = np.stack([pl2.slot_w for pl2 in padded])
+                self._wks[c] = prefix_widths(sw, bp)
+            else:
+                self._wks[c] = None
+            self._plans_dev[c] = self._stack_plans(padded, self._wks[c])
         del raw, face_sets
 
         def put(arr):
@@ -319,19 +366,25 @@ class GreenGaussPallas:
                             if bool(lay.inter_slice[k])]
         self._step_cache: dict = {}
 
-    def _stack_plans(self, plans: list[BlockPlan]) -> dict:
-        def stack(key, dtype):
+    def _stack_plans(self, plans: list[BlockPlan],
+                     wks: tuple[int, ...] | None = None) -> dict:
+        def stack(key, dtype, transform=None):
             # host numpy placed directly with the sharding (see __init__'s
             # put(): no eager jnp.asarray hop through device 0)
-            host = np.stack([getattr(p, key) for p in plans]).astype(dtype)
-            return jax.device_put(host, self._sharding)
+            host = np.stack([getattr(p, key) for p in plans])
+            if transform is not None:
+                host = transform(host)
+            return jax.device_put(host.astype(dtype), self._sharding)
 
         w_dtype = (jnp.bfloat16 if self.meta_dtype == "bfloat16"
                    else np.float32)
+        # kcompact: weights stored in the compact prefix layout (P, nb, 3, L)
+        sw_tf = (None if wks is None
+                 else (lambda h: compact_slot_w(h, wks)))
         return {
             "block_ids": stack("block_ids", np.int32),
             "slot_idx": stack("slot_idx", np.int32),
-            "slot_w": stack("slot_w", w_dtype),
+            "slot_w": stack("slot_w", w_dtype, sw_tf),
             "scale": stack("scale", np.float32),
             "ext_idx": stack("ext_idx", np.int32),
         }
@@ -433,7 +486,8 @@ class GreenGaussPallas:
                         outs.append(pack_srcs(
                             v[0], pa, bp=self.bp, ep=ep, kslots=ks,
                             nblocks=nb, interpret=self.interpret,
-                            src_format=self.src_format)[None])
+                            src_format=self.src_format,
+                            wks=self._wks[cls])[None])
                     else:
                         outs.append(exts[None])
                 return tuple(outs)
@@ -471,9 +525,13 @@ class GreenGaussPallas:
             var_T, pa, bp=self.bp, ep=ep, kslots=ks, nblocks=nb,
             init=init, interpret=self.interpret, op=self.op,
             packed=self.packed, src_format=self.src_format,
+            wks=self._wks[cls],
         )
 
-    def _exchange_start(self, g, send_idx, send_mask):
+    def _exchange_start(self, g, send_idx, send_mask, dtype=None):
+        """dtype: wire precision of the payload (None = carrier dtype).  The
+        GRADIENT exchange passes self._halo_jnp (--halo-dtype); the VAR
+        exchange leaves it None — state stays full precision."""
         bufs = []
         for k, perm in enumerate(self.layout.perms):
             if not perm:
@@ -481,6 +539,9 @@ class GreenGaussPallas:
                 continue
             # mask pad lanes so ghost-region padding is deterministic zeros
             buf = jnp.take(g, send_idx[k], axis=1) * send_mask[k][None, :]
+            if dtype is not None and buf.dtype != dtype:
+                buf = buf.astype(dtype)     # pack-time cast: bytes halve on
+                                            # the wire, unpack upcasts
             bufs.append(jax.lax.ppermute(buf, AXIS, list(perm)))
         return bufs
 
@@ -490,7 +551,7 @@ class GreenGaussPallas:
             if buf is None:
                 continue
             g = jax.lax.dynamic_update_slice(
-                g, buf, (0, lay.ghost_start + k * lay.s_max))
+                g, buf.astype(g.dtype), (0, lay.ghost_start + k * lay.s_max))
         return g
 
     def step_fn(self, schedule: str = "overlap"):
@@ -508,7 +569,8 @@ class GreenGaussPallas:
                     g = self._sweep("bulk", v, e_bulk[0], _sq(pb))
                     if schedule == "bulk":
                         # bulk grads are already volume-scaled: mask only
-                        bufs = self._exchange_start(g, sidx, smask)
+                        bufs = self._exchange_start(g, sidx, smask,
+                                                    dtype=self._halo_jnp)
                         g = self._exchange_finish(g, bufs)
                 elif (schedule == "overlap" and self._has_comm
                       and self._ici_phases):
@@ -520,8 +582,10 @@ class GreenGaussPallas:
                     zeros = jnp.zeros((out_rows(self.op), lay.ndev), jnp.float32)
                     gb = self._sweep("boundary", v, e_b[0], _sq(pbd), init=zeros)
                     # boundary sums are UNSCALED; apply 1/V at pack time
+                    # (then the --halo-dtype wire cast, if any)
                     def pack(k):
-                        return jnp.take(gb, sidx[k], axis=1) * pscale[k][None, :]
+                        buf = jnp.take(gb, sidx[k], axis=1) * pscale[k][None, :]
+                        return buf.astype(self._halo_jnp)
 
                     dcn_out = {k: jax.lax.ppermute(pack(k), AXIS,
                                                    list(lay.perms[k]))
@@ -537,20 +601,23 @@ class GreenGaussPallas:
                         srcs=srcs[0][sel],
                         interpret=self.interpret, op=self.op,
                         packed=self.packed, src_format=self.src_format,
+                        wks=self._wks["interior"],
                     )
                     for j, k in enumerate(ici):
                         g = jax.lax.dynamic_update_slice(
-                            g, recv[j], (0, lay.ghost_start + k * lay.s_max))
+                            g, recv[j].astype(g.dtype),
+                            (0, lay.ghost_start + k * lay.s_max))
                     for k in dcn:
                         g = jax.lax.dynamic_update_slice(
-                            g, dcn_out[k],
+                            g, dcn_out[k].astype(g.dtype),
                             (0, lay.ghost_start + k * lay.s_max))
                 else:  # early (or overlap with no comm / no ICI phase —
                        # a pure-DCN topology has nothing for the fused
                        # in-kernel RDMA path to carry)
                     zeros = jnp.zeros((out_rows(self.op), lay.ndev), jnp.float32)
                     gb = self._sweep("boundary", v, e_b[0], _sq(pbd), init=zeros)
-                    bufs = self._exchange_start(gb, sidx, pscale)
+                    bufs = self._exchange_start(gb, sidx, pscale,
+                                                dtype=self._halo_jnp)
                     g = self._sweep("interior", v, e_i[0], _sq(pi), init=gb)
                     g = self._exchange_finish(g, bufs)
                 return g[None]

@@ -17,7 +17,7 @@ _SO = os.path.join(os.path.dirname(__file__), "libcfdprep.so")
 # rebuilt) instead of being called with a mismatched argument list — missing-
 # symbol detection alone cannot catch a signature CHANGE to an existing
 # export (advisor finding, round 2).
-_ABI_VERSION = 3
+_ABI_VERSION = 4
 
 
 def _make():
@@ -96,12 +96,14 @@ def _declare(L):
     L.cfd_plan_sizes.restype = ctypes.c_int
     L.cfd_plan_sizes.argtypes = [
         i32p, ctypes.c_int64, u8p, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int64,
         i32p, i32p, u8p,
     ]
     L.cfd_plan_fill.restype = ctypes.c_int
     L.cfd_plan_fill.argtypes = [
         i32p, ctypes.c_int64, f64p, u8p, ctypes.c_int64, ctypes.c_int32,
-        ctypes.c_int32, ctypes.c_int32, i32p, i32p, f32p, i32p, i32p,
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, i32p, i32p, f32p,
+        i32p, i32p,
     ]
     L.cfd_golden_gg.restype = ctypes.c_int
     L.cfd_golden_gg.argtypes = [

@@ -96,11 +96,20 @@ def build_block_plan(
     face_sel: np.ndarray | None = None,   # bool (F,) — restrict to a face class
     all_blocks: bool = False,  # keep every block in the grid even if empty
     pads: tuple[int, int] | None = None,  # (ep, kslots) forced paddings
+    dst_lt: int | None = None,  # drop slots whose DESTINATION column is
+                               # >= this bound.  Used with dst_lt = nowned to
+                               # drop ghost-destination slots: their sums are
+                               # dead by construction (scale 0 at ghosts /
+                               # overwritten by the halo unpack), and carrying
+                               # them wastes stream, inflates kslots/ext
+                               # lists, and blunts the compact prefix widths
+                               # (the ghost region cannot be degree-sorted).
 ) -> BlockPlan:
     check(npoint_dev % bp == 0, "npoint_dev %d not a multiple of bp %d", npoint_dev, bp)
     check(bp % LANE == 0, "bp must be a multiple of 128")
     native = _build_block_plan_native(
-        faces, normals, npoint_dev, inv_scale, bp, face_sel, all_blocks, pads
+        faces, normals, npoint_dev, inv_scale, bp, face_sel, all_blocks, pads,
+        dst_lt,
     )
     if native is not None:
         return native
@@ -118,6 +127,9 @@ def build_block_plan(
     sgn = np.concatenate([np.ones(len(f)), -np.ones(len(f))])
     w = sgn[:, None] * np.concatenate([n, n], axis=0)          # (2Fs, 3)
     inc_id = np.concatenate([2 * fsel, 2 * fsel + 1])          # golden order
+    if dst_lt is not None:
+        keep = dst < dst_lt
+        dst, oth, w, inc_id = dst[keep], oth[keep], w[keep], inc_id[keep]
 
     blk = dst // bp
     nblk_total = npoint_dev // bp
@@ -185,6 +197,51 @@ def build_block_plan(
     )
 
 
+def prefix_widths(slot_w: np.ndarray, bp: int) -> tuple[int, ...]:
+    """Static per-slot lane widths for the COMPACT packed layout.
+
+    slot_w: host array (..., K, 3, bp).  Width of slot k = max over all
+    leading dims (shards × blocks) of (last lane with a nonzero weight + 1),
+    rounded up to the 128-lane vreg.  CORRECT for any point order — a slot's
+    active lanes always sit inside its prefix because per-point slot counts
+    are contiguous from k=0 (a point of degree d uses slots 0..d-1, so slot
+    k's active lane set shrinks monotonically with k).  TIGHT when points are
+    degree-sorted within each block (mesh/partition.py::rcb_owned_order
+    degree_sort=True), which concentrates high-degree points in the leading
+    lanes.  On the benchmark mesh (2.8M faces, bp=4096) this cuts the
+    srcs+slot_w streams 19.5%: T_k tiles = [32,32,32,32,32,32,12,2]."""
+    a = np.asarray(slot_w)
+    K = a.shape[-3]
+    nz = (a.reshape(-1, K, 3, bp) != 0).any(axis=2)           # (R, K, bp)
+    has = nz.any(axis=2)                                      # (R, K)
+    last = bp - 1 - nz[:, :, ::-1].argmax(axis=2)
+    w = np.where(has, last + 1, 0).max(axis=0) if nz.shape[0] else \
+        np.zeros(K, np.int64)                                 # (K,)
+    w = (w + LANE - 1) // LANE * LANE
+    if w.sum() == 0:
+        w[0] = LANE     # degenerate all-empty class: keep one inert chunk
+    return tuple(int(x) for x in w)
+
+
+def compact_len(wks: tuple[int, ...]) -> int:
+    return int(sum(wks))
+
+
+def compact_slot_w(slot_w: np.ndarray, wks: tuple[int, ...]) -> np.ndarray:
+    """(..., K, 3, bp) → (..., 3, L) prefix-compacted weights (host)."""
+    K = slot_w.shape[-3]
+    check(K == len(wks), "wks length %d != kslots %d", len(wks), K)
+    parts = [slot_w[..., k, :, :w] for k, w in enumerate(wks) if w]
+    return np.concatenate(parts, axis=-1)
+
+
+def compact_srcs(srcs, wks: tuple[int, ...]):
+    """(nb, K, NV, bp) slot sources → (nb, NV, L) compact (XLA reference for
+    pack_srcs' compact output; tests/microbenches)."""
+    parts = [srcs[:, k, :, :w] for k, w in enumerate(wks) if w]
+    return jnp.concatenate(parts, axis=-1)
+
+
 def slot_src_cols(plan: BlockPlan) -> np.ndarray:
     """Resolve each slot's W-index to its DEVICE column: (nblocks, K, BP) i32.
 
@@ -205,7 +262,8 @@ def slot_src_cols(plan: BlockPlan) -> np.ndarray:
 
 
 def _build_block_plan_native(faces, normals, npoint_dev, inv_scale, bp,
-                             face_sel, all_blocks, pads) -> BlockPlan | None:
+                             face_sel, all_blocks, pads,
+                             dst_lt=None) -> BlockPlan | None:
     """Native (C++) fast path — same semantics as the NumPy construction.
 
     Built by `make -C native`; returns None (→ NumPy fallback) if absent."""
@@ -223,11 +281,12 @@ def _build_block_plan_native(faces, normals, npoint_dev, inv_scale, bp,
            else np.ascontiguousarray(face_sel, np.uint8))
     sel_p = None if sel is None else ptr(sel, ctypes.c_uint8)
     nblk_total = npoint_dev // bp
+    dlt = npoint_dev if dst_lt is None else int(dst_lt)
     kmax = ctypes.c_int32(0)
     extmax = ctypes.c_int32(0)
     touched = np.zeros(nblk_total, np.uint8)
     rc = L.cfd_plan_sizes(
-        ptr(faces_c, ctypes.c_int32), F, sel_p, npoint_dev, bp,
+        ptr(faces_c, ctypes.c_int32), F, sel_p, npoint_dev, bp, dlt,
         ctypes.byref(kmax), ctypes.byref(extmax), ptr(touched, ctypes.c_uint8),
     )
     check(rc == 0, "cfd_plan_sizes failed rc=%d", rc)
@@ -255,7 +314,7 @@ def _build_block_plan_native(faces, normals, npoint_dev, inv_scale, bp,
     ext_cnt = np.zeros(nrows, np.int32)
     rc = L.cfd_plan_fill(
         ptr(faces_c, ctypes.c_int32), F, ptr(normals_c, ctypes.c_double),
-        sel_p, npoint_dev, bp, ks, ep, ptr(blk_pos, ctypes.c_int32),
+        sel_p, npoint_dev, bp, dlt, ks, ep, ptr(blk_pos, ctypes.c_int32),
         ptr(slot_idx, ctypes.c_int32), ptr(slot_w, ctypes.c_float),
         ptr(ext_idx, ctypes.c_int32), ptr(ext_cnt, ctypes.c_int32),
     )
@@ -351,7 +410,8 @@ def _block_compute(bp: int, ep: int, kslots: int, accumulate: bool, op: str):
 
 
 def _block_compute_packed(bp: int, kslots: int, accumulate: bool, op: str,
-                          src_format: str = "f32"):
+                          src_format: str = "f32",
+                          wks: tuple[int, ...] | None = None):
     """Per-block compute for the PACKED formulation: sources pre-gathered
     into src_ref (1, K, NV, BP) — pure stream + FMA, no in-kernel gathers.
 
@@ -368,7 +428,16 @@ def _block_compute_packed(bp: int, kslots: int, accumulate: bool, op: str,
     raw values because the Green-Gauss signal IS the neighbor delta (the
     own·Σw term cancels over closed dual cells), so bf16 rounding scales
     with |src−own| and the gradient keeps a ~1e-3 relative bound instead of
-    the ~1e-2 that bf16 raw state would give."""
+    the ~1e-2 that bf16 raw state would give.
+
+    wks (COMPACT layout, --kcompact): slot k's sources/weights occupy only a
+    static lane PREFIX of width wks[k] ≤ bp (src_ref (1, NV, L) and sw_ref
+    (1, 3, L), L = Σwks, chunk k at lane offset Σ_{j<k}wks[j]).  With points
+    degree-sorted within blocks this drops the ~21% inert padding slots from
+    the two dominant streams (prefix_widths).  All offsets/widths are static
+    — no dynamic control flow (the measured 5.7×-loss dead end) anywhere.
+    Dropped lanes carried exactly-zero weights, so per-point sums are
+    unchanged (each remaining slot adds the same term in the same order)."""
     rows = out_rows(op)
 
     def compute(own_ref, src_ref, sw_ref, scale_ref, init_ref, out_ref):
@@ -377,36 +446,56 @@ def _block_compute_packed(bp: int, kslots: int, accumulate: bool, op: str,
             acc = init_ref[:]
         else:
             acc = jnp.zeros((rows, bp), jnp.float32)
+        off = 0
         for k in range(kslots):
-            if src_format == "bf16d":
-                delta = src_ref[0, k].astype(jnp.float32)     # src − own
+            if wks is None:
+                w, own_k = bp, own
+                src_k = src_ref[0, k]                         # (NV, bp)
+                wk = sw_ref[0, k].astype(jnp.float32)         # (3, bp)
             else:
-                gat = src_ref[0, k]                           # (NV, bp)
-            wk = sw_ref[0, k].astype(jnp.float32)             # (3, bp)
+                w = wks[k]
+                if w == 0:
+                    continue
+                own_k = own if w == bp else own[:, :w]
+                src_k = src_ref[0, :, off:off + w]            # (NV, w)
+                wk = sw_ref[0, :, off:off + w].astype(jnp.float32)
+                off += w
             if op == "gg":
                 if src_format == "bf16d":
-                    avg = own + 0.5 * delta
+                    avg = own_k + 0.5 * src_k.astype(jnp.float32)  # src − own
                 else:
-                    avg = 0.5 * (own + gat)
-                acc = acc + (wk[:, None, :] * avg[None, :, :]).reshape(rows, bp)
+                    avg = 0.5 * (own_k + src_k)
+                contrib = (wk[:, None, :] * avg[None, :, :]).reshape(rows, w)
             else:  # upwind flux (ops/flux.py directed-slot form)
                 if src_format == "bf16d":
-                    gat = own + delta
-                udw = jnp.sum(own[:3] * wk, axis=0)           # (bp,)
+                    gat = own_k + src_k.astype(jnp.float32)
+                else:
+                    gat = src_k
+                udw = jnp.sum(own_k[:3] * wk, axis=0)         # (w,)
                 uow = jnp.sum(gat[:3] * wk, axis=0)
                 a = jnp.maximum(jnp.abs(udw), jnp.abs(uow))
-                acc = acc + 0.5 * (udw[None, :] * own + uow[None, :] * gat) \
-                    - 0.5 * a[None, :] * (gat - own)
+                contrib = 0.5 * (udw[None, :] * own_k + uow[None, :] * gat) \
+                    - 0.5 * a[None, :] * (gat - own_k)
+            if w == bp:
+                acc = acc + contrib
+            else:
+                # prefix-only accumulate.  NOT acc.at[:, :w].add(...): that
+                # lowers to scatter-add, which Mosaic does not implement —
+                # a lane-aligned concat of (updated prefix, untouched
+                # suffix) is pure vector ops
+                acc = jnp.concatenate([acc[:, :w] + contrib, acc[:, w:]],
+                                      axis=1)
         out_ref[:] = acc * scale_ref[0, 0][None, :]
 
     return compute
 
 
 def _sweep_kernel(bp: int, ep: int, kslots: int, accumulate: bool, op: str,
-                  packed: bool, src_format: str = "f32"):
+                  packed: bool, src_format: str = "f32",
+                  wks: tuple[int, ...] | None = None):
     if packed:
         compute = _block_compute_packed(bp, kslots, accumulate, op,
-                                        src_format)
+                                        src_format, wks)
 
         def kernel(bids_ref, own_ref, src_ref, sw_ref, scale_ref, *rest):
             if accumulate:
@@ -444,6 +533,7 @@ def sweep_blocks(
     op: str = "gg",                  # "gg" gradients | "flux" upwind flux
     packed: bool = False,            # PACKED formulation (see module doc)
     src_format: str = "f32",         # f32 | bf16d (bf16 deltas; packed only)
+    wks: tuple[int, ...] | None = None,  # COMPACT prefix widths (packed only)
 ) -> jax.Array:
     """Run the block sweep; returns (out_rows(op), npoint_dev).
 
@@ -453,16 +543,39 @@ def sweep_blocks(
     (f32 values, or bf16 deltas vs own for src_format="bf16d").  Both
     pre-gathers are setup-time (var is static across benchmark iterations;
     see models/gradients.py).
+
+    wks (packed only): COMPACT layout — srcs (nblocks, NV, L) and slot_w
+    (nblocks, 3, L), L = Σ wks; see _block_compute_packed.
     """
     npoint_dev = var_T.shape[1]
     accumulate = init is not None
     rows = out_rows(op)
-    kernel = _sweep_kernel(bp, ep, kslots, accumulate, op, packed, src_format)
+    check(wks is None or packed, "wks (compact layout) needs packed=True")
+    kernel = _sweep_kernel(bp, ep, kslots, accumulate, op, packed, src_format,
+                           wks)
 
     def bid(i, bids):
         return bids[i]
 
-    if packed:
+    if packed and wks is not None:
+        L = compact_len(wks)
+        in_specs = [
+            pl.BlockSpec((NV, bp), lambda i, bids: (0, bid(i, bids)),
+                         memory_space=pltpu.VMEM),                   # own
+            pl.BlockSpec((1, NV, L), lambda i, bids: (i, 0, 0),
+                         memory_space=pltpu.VMEM),                   # srcs
+            pl.BlockSpec((1, 3, L), lambda i, bids: (i, 0, 0),
+                         memory_space=pltpu.VMEM),                   # slot_w
+            pl.BlockSpec((1, 1, bp), lambda i, bids: (i, 0, 0),
+                         memory_space=pltpu.VMEM),                   # scale
+        ]
+        args = [
+            var_T,
+            plan_arrays["srcs"],
+            plan_arrays["slot_w"],
+            plan_arrays["scale"],
+        ]
+    elif packed:
         in_specs = [
             pl.BlockSpec((NV, bp), lambda i, bids: (0, bid(i, bids)),
                          memory_space=pltpu.VMEM),                   # own
@@ -546,6 +659,7 @@ def sweep_blocks_overlap(
     op: str = "gg",
     packed: bool = False,
     src_format: str = "f32",
+    wks: tuple[int, ...] | None = None,  # COMPACT prefix widths (packed only)
 ) -> tuple[jax.Array, jax.Array]:
     """FUSED interior sweep + one-sided halo push — the GASPI analogue.
 
@@ -562,9 +676,10 @@ def sweep_blocks_overlap(
     npoint_dev = var_T.shape[1]
     rows = out_rows(op)
     nph = int(sendbufs.shape[0])
+    check(wks is None or packed, "wks (compact layout) needs packed=True")
     if packed:
         compute_packed = _block_compute_packed(bp, kslots, True, op,
-                                               src_format)
+                                               src_format, wks)
     else:
         compute_gather = _block_compute(bp, ep, kslots, True, op)
 
@@ -634,7 +749,14 @@ def sweep_blocks_overlap(
     def bid(i, bids, dsts, srcs):
         return bids[i]
 
-    if packed:
+    if packed and wks is not None:
+        L = compact_len(wks)
+        tbl_specs = [
+            pl.BlockSpec((1, NV, L), lambda i, b, d, s: (i, 0, 0),
+                         memory_space=pltpu.VMEM),                   # srcs
+        ]
+        tbl_args = [plan_arrays["srcs"]]
+    elif packed:
         tbl_specs = [
             pl.BlockSpec((1, kslots, NV, bp), lambda i, b, d, s: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),                   # srcs
@@ -652,8 +774,12 @@ def sweep_blocks_overlap(
         pl.BlockSpec((NV, bp), lambda i, b, d, s: (0, bid(i, b, d, s)),
                      memory_space=pltpu.VMEM),                       # own
         *tbl_specs,
-        pl.BlockSpec((1, kslots, 3, bp), lambda i, b, d, s: (i, 0, 0, 0),
-                     memory_space=pltpu.VMEM),                       # slot_w
+        (pl.BlockSpec((1, 3, compact_len(wks)),
+                      lambda i, b, d, s: (i, 0, 0),
+                      memory_space=pltpu.VMEM)
+         if packed and wks is not None else
+         pl.BlockSpec((1, kslots, 3, bp), lambda i, b, d, s: (i, 0, 0, 0),
+                      memory_space=pltpu.VMEM)),                     # slot_w
         pl.BlockSpec((1, 1, bp), lambda i, b, d, s: (i, 0, 0),
                      memory_space=pltpu.VMEM),                       # scale
         pl.BlockSpec(memory_space=pl.ANY),                           # sendbufs
@@ -677,7 +803,7 @@ def sweep_blocks_overlap(
         ],
     )
     args = (var_T, *tbl_args, plan_arrays["slot_w"], plan_arrays["scale"],
-            sendbufs, init, jnp.zeros(sendbufs.shape, jnp.float32))
+            sendbufs, init, jnp.zeros(sendbufs.shape, sendbufs.dtype))
     # operand index: prefetch(3) count as 0..2, then tensor inputs; init
     # (second-to-last) aliases the grad output; the zero recv-init (last)
     # aliases the recv buffer so no-recv phases read deterministic zeros
@@ -687,7 +813,7 @@ def sweep_blocks_overlap(
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((rows, npoint_dev), jnp.float32),
-            jax.ShapeDtypeStruct(sendbufs.shape, jnp.float32),
+            jax.ShapeDtypeStruct(sendbufs.shape, sendbufs.dtype),
         ),
         input_output_aliases={n_ops - 2: 0, n_ops - 1: 1},
         # collective_id is required by (and only valid with) the
@@ -730,6 +856,7 @@ def pack_srcs(
     nblocks: int,
     interpret: bool = False,
     src_format: str = "f32",
+    wks: tuple[int, ...] | None = None,
 ) -> jax.Array:
     """Pallas source re-pack for the PACKED formulation: gather each slot's
     source VALUES into (nblocks, K, NV, BP) using the same in-VMEM masked
@@ -738,21 +865,51 @@ def pack_srcs(
     gather; exts are the (small, RCB-local) pre-gathered ext columns.
 
     src_format "bf16d" writes bf16 DELTAS gathered−own instead (the
-    --src-dtype bfloat16 stream-halving option; see _block_compute_packed)."""
+    --src-dtype bfloat16 stream-halving option; see _block_compute_packed).
+
+    wks: write the COMPACT layout (nblocks, NV, L) instead — slot k's prefix
+    tiles at static lane offset Σ_{j<k}wks[j] (see _block_compute_packed);
+    tiles beyond a slot's prefix hold only inert padding and are skipped,
+    which also drops ~20% of the re-pack's gather work."""
     ntile = bp // LANE
     npass = (bp + ep) // LANE
     out_dtype = jnp.bfloat16 if src_format == "bf16d" else jnp.float32
 
-    def kernel(bids_ref, own_ref, ext_ref, sidx_ref, out_ref):
-        tbl = jnp.concatenate([own_ref[:], ext_ref[0]], axis=1)  # (NV, W)
-        for t in range(ntile):
-            own_tile = own_ref[:, t * LANE : (t + 1) * LANE]
-            for k in range(kslots):
-                idx = sidx_ref[0, k, t * LANE : (t + 1) * LANE]
-                gat = _masked_gather(tbl, idx, npass)
-                if src_format == "bf16d":
-                    gat = (gat - own_tile).astype(jnp.bfloat16)
-                out_ref[0, k, :, t * LANE : (t + 1) * LANE] = gat
+    def gather_tile(own_ref, tbl, sidx_ref, t, k):
+        own_tile = own_ref[:, t * LANE : (t + 1) * LANE]
+        idx = sidx_ref[0, k, t * LANE : (t + 1) * LANE]
+        gat = _masked_gather(tbl, idx, npass)
+        if src_format == "bf16d":
+            gat = (gat - own_tile).astype(jnp.bfloat16)
+        return gat
+
+    if wks is None:
+        def kernel(bids_ref, own_ref, ext_ref, sidx_ref, out_ref):
+            tbl = jnp.concatenate([own_ref[:], ext_ref[0]], axis=1)  # (NV, W)
+            for t in range(ntile):
+                for k in range(kslots):
+                    out_ref[0, k, :, t * LANE : (t + 1) * LANE] = \
+                        gather_tile(own_ref, tbl, sidx_ref, t, k)
+
+        out_spec = pl.BlockSpec((1, kslots, NV, bp),
+                                lambda i, bids: (i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((nblocks, kslots, NV, bp), out_dtype)
+    else:
+        L = compact_len(wks)
+
+        def kernel(bids_ref, own_ref, ext_ref, sidx_ref, out_ref):
+            tbl = jnp.concatenate([own_ref[:], ext_ref[0]], axis=1)  # (NV, W)
+            off = 0
+            for k, w in enumerate(wks):
+                for t in range(w // LANE):
+                    out_ref[0, :, off + t * LANE : off + (t + 1) * LANE] = \
+                        gather_tile(own_ref, tbl, sidx_ref, t, k)
+                off += w
+
+        out_spec = pl.BlockSpec((1, NV, L), lambda i, bids: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((nblocks, NV, L), out_dtype)
 
     def bid(i, bids):
         return bids[i]
@@ -768,15 +925,12 @@ def pack_srcs(
             pl.BlockSpec((1, kslots, bp), lambda i, bids: (i, 0, 0),
                          memory_space=pltpu.VMEM),                   # slot_idx
         ],
-        out_specs=pl.BlockSpec((1, kslots, NV, bp),
-                               lambda i, bids: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_spec,
     )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nblocks, kslots, NV, bp),
-                                       out_dtype),
+        out_shape=out_shape,
         interpret=interpret,
     )(plan_arrays["block_ids"], var_T, plan_arrays["exts"],
       plan_arrays["slot_idx"])

@@ -55,6 +55,14 @@ class SolverConfig:
     src_dtype: str = "float32"      # bfloat16 = delta-packed bf16 slot
                                     # sources: srcs stream halves, ~17%
                                     # faster, ~1e-3 rel bound (BASELINE.md)
+    kcompact: bool | None = None    # compact prefix slot layout (packed
+                                    # kernel): drop the inert padding slots
+                                    # from the srcs/slot_w streams; None =
+                                    # auto (on for the packed kernel)
+    halo_dtype: str = "float32"     # bfloat16 halves the exchanged gradient
+                                    # payloads on the wire (pack-time cast,
+                                    # unpack upcast); ghost gradients carry
+                                    # a ~4e-3 rel bound, owned untouched
     bp: int = 4096              # points per Pallas block — the thread-config
                                 # analogue (reference: pthread count sweeps).
                                 # Paired block-size scan (BASELINE.md): f32
@@ -116,7 +124,9 @@ def build_model(cfg: SolverConfig):
                                  kernel=cfg.kernel, force_rdma=cfg.force_rdma,
                                  slice_size=cfg.slice_size,
                                  meta_dtype=cfg.meta_dtype,
-                                 src_dtype=cfg.src_dtype)
+                                 src_dtype=cfg.src_dtype,
+                                 kcompact=cfg.kcompact,
+                                 halo_dtype=cfg.halo_dtype)
     else:
         if cfg.model != "gg":
             raise SystemExit("--model flux requires --backend pallas")
@@ -282,11 +292,25 @@ def run(cfg: SolverConfig) -> tuple[dict, list[IterationStats]]:
             all_stats.append(nocomm)
             comm_cost = (bulk_med - nocomm.median) if bulk_med else None
             for s in schedules:
-                if comm_cost and comm_cost > 0 and s != "bulk":
+                if s == "bulk":
+                    continue
+                if comm_cost and comm_cost > 0:
                     exposed = results["schedules"][s]["median_s"] - nocomm.median
                     results["schedules"][s]["overlap_efficiency"] = float(
                         np.clip(1.0 - exposed / comm_cost, 0.0, 1.0)
                     )
+                else:
+                    # the secondary metric (BASELINE.json) must be REPORTED,
+                    # not silently omitted: at P=1 the exchange is pack/
+                    # unpack + self-send only, so bulk-minus-nocomm sits
+                    # below the timing noise floor and the ratio is
+                    # undefined — null with the reason attached
+                    results["schedules"][s]["overlap_efficiency"] = None
+                    results["schedules"][s]["overlap_efficiency_note"] = (
+                        "comm cost unmeasurable (bulk - nocomm <= 0 within "
+                        "noise; at P=1 the exchange is pack/unpack + "
+                        "self-send only — real overlap efficiency needs "
+                        "multi-chip)")
     finally:
         if profiler_cm is not None:
             profiler_cm.__exit__(None, None, None)
@@ -390,6 +414,16 @@ def main(argv=None) -> int:
                          "rel bound — BASELINE.md)")
     ap.add_argument("--bp", type=int, default=4096,
                     help="points per Pallas block (multiple of 128)")
+    ap.add_argument("--halo-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="wire precision of exchanged gradient halo payloads "
+                         "(bfloat16: comm bytes halve; ghost gradients carry "
+                         "a ~4e-3 rel bound)")
+    ap.add_argument("--kcompact", default="auto",
+                    choices=["auto", "on", "off"],
+                    help="compact prefix slot layout for the packed kernel "
+                         "(drops the inert padding slots from the srcs/"
+                         "slot_w streams); auto = on when --kernel packed")
     ap.add_argument("--dtype", default="float32", choices=["float32", "float64"])
     ap.add_argument("--diag-frac", type=float, default=0.2)
     ap.add_argument("--stretch", type=float, default=1.0,
@@ -419,6 +453,8 @@ def main(argv=None) -> int:
         backend=args.backend, model=args.model, kernel=args.kernel,
         force_rdma=args.force_rdma, slice_size=args.slice_size,
         meta_dtype=args.meta_dtype, src_dtype=args.src_dtype,
+        halo_dtype=args.halo_dtype,
+        kcompact={"auto": None, "on": True, "off": False}[args.kcompact],
         bp=args.bp, dtype=args.dtype,
         diag_frac=args.diag_frac, stretch=args.stretch, seed=args.seed,
         platform=args.platform,

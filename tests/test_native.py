@@ -26,20 +26,25 @@ def setup():
     return m, ndev, inv_scale
 
 
-@pytest.mark.parametrize("subset,all_blocks", [(False, True), (True, False), (True, True)])
-def test_native_matches_numpy(setup, subset, all_blocks):
+@pytest.mark.parametrize("subset,all_blocks,dst_lt", [
+    (False, True, None), (True, False, None), (True, True, None),
+    (False, True, 777), (True, True, 777),
+])
+def test_native_matches_numpy(setup, subset, all_blocks, dst_lt):
     m, ndev, inv_scale = setup
     sel = None
     if subset:
         sel = np.zeros(m.nface, bool)
         sel[::4] = True
     pn = bs._build_block_plan_native(
-        m.faces, m.normals, ndev, inv_scale, 128, sel, all_blocks, None)
+        m.faces, m.normals, ndev, inv_scale, 128, sel, all_blocks, None,
+        dst_lt)
     os.environ["CFD_NATIVE"] = "0"
     lib.cache_clear()
     try:
         pp = bs.build_block_plan(m.faces, m.normals, ndev, inv_scale, bp=128,
-                                 face_sel=sel, all_blocks=all_blocks)
+                                 face_sel=sel, all_blocks=all_blocks,
+                                 dst_lt=dst_lt)
     finally:
         os.environ["CFD_NATIVE"] = "1"
         lib.cache_clear()

@@ -59,6 +59,53 @@ def test_pallas_schedules_match_golden(mesh, gvar, gref, npart, ghost_layers,
     assert np.isfinite(outs["bulk"]).all()
 
 
+def test_bf16_halo_dtype_bounded(mesh, gvar):
+    """--halo-dtype bfloat16 rounds ONLY the exchanged ghost gradients:
+    owned rows stay bit-identical to the f32-halo model; ghost rows carry
+    the bf16 wire rounding, bounded ~4e-3 relative vs their owners."""
+    parts = partition_mesh(mesh, 4, ghost_layers=1)
+    m32 = GreenGaussPallas(parts, NVAR, bp=128, interpret=True)
+    mbf = GreenGaussPallas(parts, NVAR, bp=128, interpret=True,
+                           halo_dtype="bfloat16")
+    s32 = m32.distribute_state(gvar)
+    sbf = mbf.distribute_state(gvar)
+    for s in ("bulk", "early", "overlap"):
+        g32 = np.asarray(m32.step(s32, s))
+        gbf = np.asarray(mbf.step(sbf, s))
+        for i, p in enumerate(mbf.parts):
+            # owned columns never ride the wire — bit-identical
+            np.testing.assert_array_equal(gbf[i, :, : p.nowned],
+                                          g32[i, :, : p.nowned],
+                                          err_msg=f"{s} owned")
+        # ghost regions: bf16 rounding of the f32 payload, relative bound
+        denom = max(1.0, np.abs(g32).max())
+        err = np.abs(gbf - g32).max() / denom
+        assert err < 4e-3, f"{s}: halo rounding {err}"
+        assert err > 0 or mbf.layout.nphases == 0  # the cast really happened
+
+
+def test_kcompact_matches_uncompacted(mesh, gvar):
+    """--kcompact changes only the slot-table LAYOUT (in-block degree sort +
+    prefix compaction of exactly-zero padding slots) — per-point sums add the
+    same terms in the same order, so every schedule's gathered result equals
+    the uncompacted model's."""
+    parts = partition_mesh(mesh, 4, ghost_layers=1)
+    m_off = GreenGaussPallas(parts, NVAR, bp=256, interpret=True,
+                             kcompact=False)
+    m_on = GreenGaussPallas(parts, NVAR, bp=256, interpret=True,
+                            kcompact=True)
+    assert m_on.kcompact and not m_off.kcompact
+    # the degree sort must genuinely compact at least one class on this mesh
+    assert any(sum(w) < m_on._dims[c][1] * m_on.bp
+               for c, w in m_on._wks.items())
+    s_off = m_off.distribute_state(gvar)
+    s_on = m_on.distribute_state(gvar)
+    for s in ("bulk", "early", "overlap", "nocomm"):
+        g_off = m_off.gather_global(np.asarray(m_off.step(s_off, s)))
+        g_on = m_on.gather_global(np.asarray(m_on.step(s_on, s)))
+        np.testing.assert_array_equal(g_on, g_off, err_msg=s)
+
+
 def test_force_rdma_self_send_p1(mesh, gvar):
     """P=1 fused-RDMA overlap (self-send phase) == the degraded early graph
     bitwise on owned columns — the mode used for the single-chip hardware
@@ -153,8 +200,11 @@ def test_packed_matches_gather_kernel(mesh, gvar):
     parts = partition_mesh(mesh, 4)
     outs = {}
     for kern in ("packed", "gather"):
+        # kcompact=False pins BOTH formulations to the same (non-degree-
+        # sorted) point layout so the raw device arrays are positionally
+        # comparable; compact-vs-uncompacted equivalence has its own test
         model = GreenGaussPallas(parts, NVAR, bp=128, interpret=True,
-                                 kernel=kern)
+                                 kernel=kern, kcompact=False)
         state = model.distribute_state(gvar)
         outs[kern] = np.asarray(model.step(state, "bulk"))
     scale = max(1.0, np.abs(outs["packed"]).max())

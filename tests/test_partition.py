@@ -34,6 +34,31 @@ def test_rcb_balance(mesh):
         assert counts.max() - counts.min() <= 1
 
 
+def test_rcb_degree_sort_order(mesh):
+    """degree_sort=True permutes only WITHIN each block-sized chunk of the
+    RCB order (same block membership → identical ext lists) and orders each
+    chunk by incidence count descending."""
+    from cfd_proxy_tpu.mesh.partition import rcb_owned_order
+
+    (part,) = partition_mesh(mesh, 1)
+    block = 128
+    base = rcb_owned_order(part, block=block)
+    srt = rcb_owned_order(part, block=block, degree_sort=True)
+    assert sorted(srt) == list(range(part.nowned))
+    # same membership per positional block
+    deg = np.bincount(part.faces.ravel(), minlength=part.npoint)
+    old_base = np.empty(part.nowned, np.int64)
+    old_base[base] = np.arange(part.nowned)    # position -> old id
+    old_srt = np.empty(part.nowned, np.int64)
+    old_srt[srt] = np.arange(part.nowned)
+    for b0 in range(0, part.nowned, block):
+        chunk_base = old_base[b0 : b0 + block]
+        chunk_srt = old_srt[b0 : b0 + block]
+        assert set(chunk_base) == set(chunk_srt)
+        d = deg[chunk_srt]
+        assert (np.diff(d) <= 0).all()          # degree descending
+
+
 def test_single_partition_is_whole_mesh(mesh):
     (part,) = partition_mesh(mesh, 1)
     assert part.nowned == mesh.npoint
