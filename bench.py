@@ -69,9 +69,26 @@ def measure_cpu_golden(nx: int = 32) -> dict:
         out["call_fps"] = (out["c1_fps"] if nt <= 1 else best(
             lambda: golden_gg_c(var, m.faces, m.normals, nthreads=nt,
                                 validate=False)))
+        # DRAM-bound 1-core rate: the small mesh's ~26 MB working set is
+        # L3-resident on an idle host (measured up to ~29 Mf/s — 2-3x the
+        # round-2 loaded-host figures), which is NOT the rate a node core
+        # sustains on a benchmark-sized mesh.  An ~830k-face mesh (~210 MB
+        # working set) forces the DRAM-bound rate — the honest per-core
+        # stand-in for the multi-million-face comparison.
+        nx_d = int(os.environ.get("BENCH_CPU_DRAM_NX", "64"))
+        md = generate_mesh(nx_d, nx_d, nx_d, jitter=0.05, diag_frac=0.2,
+                           seed=0)
+        vard = make_state(md.npoint, 7, seed=1).astype("float64")
+        assert md.faces.min() >= 0 and md.faces.max() < md.npoint
+        out["cpu_dram_nface"] = md.nface
+        out["c1_dram_fps"] = best(
+            lambda: golden_gg_c(vard, md.faces, md.normals, nthreads=1,
+                                validate=False))
     log(f"cpu golden: {m.nface} faces, numpy {out['numpy_fps']/1e6:.2f} "
         f"Mf/s, C 1-core {out.get('c1_fps', 0)/1e6:.2f} Mf/s, "
-        f"C {out['host_cores']}-core {out.get('call_fps', 0)/1e6:.2f} Mf/s")
+        f"C {out['host_cores']}-core {out.get('call_fps', 0)/1e6:.2f} Mf/s, "
+        f"C 1-core DRAM-bound ({out.get('cpu_dram_nface', 0)} faces) "
+        f"{out.get('c1_dram_fps', 0)/1e6:.2f} Mf/s")
     return out
 
 
@@ -187,8 +204,13 @@ def main() -> int:
         from dataclasses import replace as _replace
 
         nx_s = int(os.environ.get("BENCH_SMALL_NX", "50"))
+        # a ~0.05 ms iteration needs far more chained iterations than the
+        # big mesh for the two-point difference to dominate noise (the first
+        # attempt at 300 iters recorded an unphysical 38 Gf/s bulk median)
+        it_s = int(os.environ.get("BENCH_SMALL_ITERS", "3000"))
         res_s, _ = run(_replace(cfg, nx=nx_s, ny=nx_s, nz=nx_s,
-                                schedule="all", force_rdma=True))
+                                schedule="all", force_rdma=True,
+                                iters=it_s))
         sch = {s: {"faces_per_sec": e["faces_per_sec"],
                    "median_ms": e["median_s"] * 1e3}
                for s, e in res_s["schedules"].items()}
@@ -204,11 +226,33 @@ def main() -> int:
         # NumPy overstates vs_baseline by the np.add.at penalty (~24x here)
         out["cpu_golden_c_faces_per_sec"] = float(cpu["c1_fps"])
         out["vs_baseline_c"] = float(fps / cpu["c1_fps"])
-        # 2-socket-node margin estimate: 64 cores at linear scaling — an
-        # OPTIMISTIC node (the sweep is memory-bound and won't scale
-        # linearly), so this margin is a conservative lower bound for us
-        node = 64 * cpu["c1_fps"]
-        out["vs_2socket_node_64c_est"] = float(fps / node)
+        # 2-socket-node estimate, taken as the MORE OPTIMISTIC of two
+        # models so OUR margin stays conservative:
+        #  (a) 64 cores x the DRAM-bound 1-core rate, linear scaling —
+        #      ignores that 64 cores share the node's memory bus;
+        #  (b) the node bandwidth wall: the C loop moves ~816 B/face of
+        #      DRAM traffic (faces 8 + normals 24 + 2 var rows 112 + grad
+        #      read+write 672), so a BENCH_NODE_GBPS-class node (default
+        #      500 GB/s, 2-socket server DDR) caps at BW/816 faces/s
+        #      regardless of core count.
+        # The round-2 single-number estimate (64 x cache-resident c1) mixed
+        # an L3-resident rate with a DRAM-bound workload; both inputs are
+        # recorded so the margin can be re-derived.
+        c1d = cpu.get("c1_dram_fps", cpu["c1_fps"])
+        node_lin = 64 * c1d
+        node_bw = float(os.environ.get("BENCH_NODE_GBPS", "500")) * 1e9 / 816
+        node = max(node_lin, node_bw)
+        out["cpu_golden_c_dram_faces_per_sec"] = float(c1d)
+        out["node_est_faces_per_sec"] = float(node)
+        out["node_est_linear64_faces_per_sec"] = float(node_lin)
+        out["node_est_bw_capped_faces_per_sec"] = float(node_bw)
+        out["vs_2socket_node_est"] = float(fps / node)
+        # legacy key (round-1/2 continuity): 64 x the small-mesh c1 —
+        # cache-resident, so on an idle host it overstates the node
+        out["vs_2socket_node_64c_est"] = float(fps / (64 * cpu["c1_fps"]))
+        if "reduced_precision" in out:
+            out["reduced_precision"]["vs_2socket_node_est"] = float(
+                out["reduced_precision"]["faces_per_sec"] / node)
     from cfd_proxy_tpu.solver import _finite_or_none
 
     # tiny meshes can sit below the dispatch-noise floor → NaN medians; emit

@@ -181,7 +181,6 @@ def time_schedule(
     """Two-point timing: run chained loops of n0 and n0+iters iterations in
     single dispatches; the difference isolates per-iteration time from the
     per-dispatch overhead (~30 ms through the tunnel)."""
-    del warmup  # compile of both runners is the warmup
     n0 = max(1, iters // 10)
     kw = {"solver_mode": True} if solver_mode else {}
     small = model.iterate_fn(schedule, n0, **kw)
@@ -189,6 +188,11 @@ def time_schedule(
     args = model.iter_args(var)
     _sync_scalar(small(*args))  # compile
     _sync_scalar(big(*args))    # compile
+    for _ in range(max(0, warmup)):
+        # untimed settling runs beyond the compile itself — the first
+        # post-compile dispatches through the tunnel are routinely slower
+        # (remote executable caching); --warmup sets how many to burn
+        _sync_scalar(big(*args))
     stats = IterationStats(schedule)
     for _ in range(repeats):
         t0 = time.perf_counter()
@@ -294,7 +298,11 @@ def run(cfg: SolverConfig) -> tuple[dict, list[IterationStats]]:
             for s in schedules:
                 if s == "bulk":
                     continue
-                if comm_cost and comm_cost > 0:
+                # noise gate: a comm cost under 5% of the bulk median is
+                # indistinguishable from two-point timing noise on this
+                # tunnel — a ratio of two noise terms is not a measurement
+                if (comm_cost and comm_cost > 0 and bulk_med
+                        and comm_cost >= 0.05 * bulk_med):
                     exposed = results["schedules"][s]["median_s"] - nocomm.median
                     results["schedules"][s]["overlap_efficiency"] = float(
                         np.clip(1.0 - exposed / comm_cost, 0.0, 1.0)
@@ -307,10 +315,10 @@ def run(cfg: SolverConfig) -> tuple[dict, list[IterationStats]]:
                     # undefined — null with the reason attached
                     results["schedules"][s]["overlap_efficiency"] = None
                     results["schedules"][s]["overlap_efficiency_note"] = (
-                        "comm cost unmeasurable (bulk - nocomm <= 0 within "
-                        "noise; at P=1 the exchange is pack/unpack + "
-                        "self-send only — real overlap efficiency needs "
-                        "multi-chip)")
+                        "comm cost unmeasurable (bulk - nocomm below the "
+                        "two-point noise floor; at P=1 the exchange is "
+                        "pack/unpack + self-send only — real overlap "
+                        "efficiency needs multi-chip)")
     finally:
         if profiler_cm is not None:
             profiler_cm.__exit__(None, None, None)
@@ -390,8 +398,8 @@ def main(argv=None) -> int:
     ap.add_argument("--nvar", type=int, default=7)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3,
-                    help="accepted for CLI symmetry; IGNORED — compiling the "
-                         "two chained runners is the warmup "
+                    help="untimed settling dispatches of the long runner "
+                         "after compilation, before the timed repeats "
                          "(solver.time_schedule)")
     ap.add_argument("--schedule", default="all", choices=["all", *SCHEDULES])
     ap.add_argument("--backend", default="pallas", choices=["pallas", "xla"])

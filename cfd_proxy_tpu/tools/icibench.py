@@ -43,10 +43,15 @@ def main(argv=None) -> int:
 
     import jax
     import jax.numpy as jnp
+    import numpy as _np
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from cfd_proxy_tpu.models.gradients_pallas import _shard_map
 
     interpret = jax.default_backend() != "tpu"
+    mesh1 = Mesh(_np.array(jax.devices()[:1]), ("shard",))
     if interpret:
         print("# WARNING: no TPU — interpret mode measures nothing real")
 
@@ -90,7 +95,10 @@ def main(argv=None) -> int:
         )
         ids = jnp.zeros(nph, jnp.int32)        # self-sends on device 0
 
-        def push(v):
+        def push_body(v):
+            # RDMA primitives require shard_map context (Mosaic rejects
+            # communication outside it) — 1-device mesh, like the model's
+            # P=1 path
             return pl.pallas_call(
                 kernel,
                 grid_spec=grid_spec,
@@ -98,7 +106,10 @@ def main(argv=None) -> int:
                 compiler_params=pltpu.CompilerParams(
                     has_side_effects=True, collective_id=7),
                 interpret=interpret,
-            )(ids, ids, v)
+            )(ids, ids, v[0])[None]
+
+        push = _shard_map(push_body, mesh1, in_specs=(P("shard"),),
+                          out_specs=P("shard"))
 
         @jax.jit
         def run(n, v):
@@ -108,10 +119,10 @@ def main(argv=None) -> int:
 
             return jax.lax.fori_loop(0, n, body, v)
 
-        v0 = jnp.ones(shape, jnp.float32)
+        v0 = jnp.ones((1, *shape), jnp.float32)   # leading shard axis
 
         def sync(n):
-            return float(np.asarray(run(n, v0)[0, 0, 0]))
+            return float(np.asarray(run(n, v0)[0, 0, 0, 0]))
 
         n0 = max(1, args.iters // 10)
         sync(n0)

@@ -29,6 +29,17 @@ the gap to the streaming memory floor (BASELINE.md):
              block-size questions drift-free.  Verdicts (2.8M faces):
              bp 1024→2048 ratio 1.08 f32 / 1.24 bf16; 2048→4096 another
              1.10 bf16 (0.303 ms ≈ 9.2 Gf/s raw)
+    compact / compact_bsw
+             the --kcompact prefix layout (degree-sorted blocks, per-slot
+             static lane prefixes — 20% fewer lanes on this mesh): srcs
+             (nb, NV, L), slot_w (nb, 3, L).  PAIRED VERDICTS (round 3):
+             prod/compact median ratio 1.3364, IQR [1.2135, 1.3558] —
+             0.432 → 0.334 ms f32 at 2.8M faces (8.4 Gf/s raw);
+             bf16sw/compact_bsw ratio 1.2094, IQR [1.1689, 1.3338] —
+             0.298 → 0.247 ms (11.3 Gf/s raw reduced precision)
+    flat     attribution control: prod's full bytes in compact's 3-D
+             layout — compact/flat isolates the byte saving, prod/flat the
+             4-D-vs-3-D BlockSpec DMA effect
 
 Timing uses the two-point chained-loop method (solver.time_schedule): the
 axon tunnel's block_until_ready does not wait and dispatch costs ~30 ms.
@@ -259,12 +270,21 @@ def main(argv=None) -> int:
     pa_cb["srcs"] = jax.jit(lambda s: compact_srcs(s, wks))(pa_bf["srcs"])
     pa_cb["slot_w"] = jax.jit(lambda w: w.astype(jnp.bfloat16))(csw)
 
-    def compact_fn(src_format):
+    def compact_fn(src_format, use_wks):
         def fn(v, pa):
             return sweep_blocks(v, pa, bp=bp, ep=plan.ep, kslots=K,
                                 nblocks=nb, interpret=interpret, packed=True,
-                                src_format=src_format, wks=wks)
+                                src_format=src_format, wks=use_wks)
         return fn
+
+    # ---- flat: attribution control for compact — the SAME bytes as prod
+    # (every slot at full bp width) but in compact's 3-D (nb, NV, K*bp)
+    # layout.  compact/flat isolates the byte saving; prod/flat isolates the
+    # 4-D-vs-3-D BlockSpec DMA layout effect.
+    wks_flat = tuple([bp] * K)
+    pa_f = dict(pa)
+    pa_f["slot_w"] = jnp.asarray(compact_slot_w(plan.slot_w, wks_flat))
+    pa_f["srcs"] = jax.jit(lambda s: compact_srcs(s, wks_flat))(pa["srcs"])
 
     variants = {
         "prod": (prod_fn, var_T, pa),
@@ -274,8 +294,9 @@ def main(argv=None) -> int:
         "bf16src": (bf16src_fn, var_T, pa_bf),
         "bf16sw": (bf16src_fn, var_T, pa_bsw),
         "w16": (prod_fn, var_T, pa_w),
-        "compact": (compact_fn("f32"), var_T, pa_c),
-        "compact_bsw": (compact_fn("bf16d"), var_T, pa_cb),
+        "compact": (compact_fn("f32", wks), var_T, pa_c),
+        "compact_bsw": (compact_fn("bf16d", wks), var_T, pa_cb),
+        "flat": (compact_fn("f32", wks_flat), var_T, pa_f),
     }
 
     if args.bp_alt:
@@ -377,7 +398,7 @@ def main(argv=None) -> int:
         # cancels in the abs-sum → 1e-2
         tols = {"prod": 1e-3, "nv7": 1e-3, "w16": 1e-2, "bf16src": 1e-2,
                 "bf16sw": 1e-2, "prod_alt": 1e-3, "bf16sw_alt": 1e-2,
-                "compact": 1e-3, "compact_bsw": 1e-2}
+                "compact": 1e-3, "compact_bsw": 1e-2, "flat": 1e-3}
         for name in requested:
             if name not in tols:       # stream/wsum are not gg semantics
                 continue

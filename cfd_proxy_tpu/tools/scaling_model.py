@@ -33,7 +33,8 @@ from cfd_proxy_tpu.mesh.generator import generate_mesh
 from cfd_proxy_tpu.mesh.partition import partition_mesh, send_point_set
 
 
-def model_partitioning(mesh, P, ns_per_face, ici_gbps, rows):
+def model_partitioning(mesh, P, ns_per_face, ici_gbps, rows,
+                       overlap_fixed_us=0.0):
     """Per-shard times from the REAL phase schedule: wire volume is the
     PADDED per-phase buffer (nphases × s_max × rows × 4B for every phase a
     device actually sends to a peer), matching parallel/tlayout.py — the
@@ -61,7 +62,12 @@ def model_partitioning(mesh, P, ns_per_face, ici_gbps, rows):
         ts_i = nfi * ns_per_face * 1e-9
         tc = comm_bytes / (ici_gbps * 1e9)
         t_bulk = max(t_bulk, ts_all + tc)
-        t_over = max(t_over, ts_b + max(ts_i, tc))
+        # overlap_fixed_us: the fused kernel's MEASURED per-step fixed cost
+        # (readiness barrier + per-phase DMA machinery + recv scatter) —
+        # ~70 us at P=1 on the round-3 kernel (BASELINE.md small-mesh row).
+        # Without it the model overstates overlap wins on small shards.
+        t_over = max(t_over,
+                     ts_b + max(ts_i, tc) + overlap_fixed_us * 1e-6)
         eff_num += min(ts_i, tc)
         eff_den += tc
     eff = eff_num / eff_den if eff_den else None
@@ -74,12 +80,21 @@ def main(argv=None) -> int:
     ap.add_argument("--ny", type=int, default=0)
     ap.add_argument("--nz", type=int, default=0)
     ap.add_argument("--parts", type=int, nargs="+", default=[1, 2, 4, 8, 16, 64])
-    ap.add_argument("--ns-per-face", type=float, default=0.54,
-                    help="measured single-chip sweep rate (BASELINE.md)")
+    ap.add_argument("--ns-per-face", type=float, default=0.12,
+                    help="measured single-chip sweep rate (BASELINE.md; "
+                         "round-3 compact f32 kernel = 0.12 ns/face at 2.8M "
+                         "faces, reduced precision = 0.088 — round 1's 0.54 "
+                         "was the stale default until round 3)")
     ap.add_argument("--ici-gbps", type=float, default=45.0,
-                    help="modeled per-link ICI bandwidth, GB/s")
+                    help="modeled per-link ICI bandwidth, GB/s (v5e link "
+                         "spec; cross-check with tools/icibench.py, whose "
+                         "self-send DMA rate upper-bounds it)")
     ap.add_argument("--rows", type=int, default=24,
                     help="exchanged rows per point (24 = gg grads; 8 = flux)")
+    ap.add_argument("--overlap-fixed-us", type=float, default=70.0,
+                    help="fused overlap kernel's measured per-step fixed "
+                         "cost (barrier + DMA machinery; BASELINE.md round-3"
+                         " small-mesh row)")
     ap.add_argument("--diag-frac", type=float, default=0.2)
     args = ap.parse_args(argv)
 
@@ -87,14 +102,16 @@ def main(argv=None) -> int:
                          jitter=0.05, diag_frac=args.diag_frac, seed=0)
     print(f"# MODEL (not measurement): {mesh.nface} global faces, "
           f"{args.ns_per_face} ns/face sweep (measured), "
-          f"{args.ici_gbps} GB/s ICI (assumed), rows={args.rows}; "
-          f"faces/sec uses sum-of-shard faces (solver.run's metric)")
+          f"{args.ici_gbps} GB/s ICI (assumed; icibench upper-bounds it), "
+          f"rows={args.rows}, overlap fixed {args.overlap_fixed_us} us "
+          f"(measured); faces/sec uses sum-of-shard faces (solver.run)")
     print(f"{'P':>4} {'bulk Gf/s':>10} {'overlap Gf/s':>13} "
           f"{'speedup':>8} {'ovl_eff':>8}")
     base = None
     for P in args.parts:
         nface_total, t_bulk, t_over, eff = model_partitioning(
-            mesh, P, args.ns_per_face, args.ici_gbps, args.rows)
+            mesh, P, args.ns_per_face, args.ici_gbps, args.rows,
+            overlap_fixed_us=args.overlap_fixed_us)
         if base is None:
             base = t_over
         eff_s = f"{eff:>8.1%}" if eff is not None else f"{'-':>8}"
