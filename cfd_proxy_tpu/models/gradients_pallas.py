@@ -707,24 +707,27 @@ class GreenGaussPallas:
             def run_n(n, var_T, e_bulk, e_b, e_i, send_idx, send_mask,
                       pack_scale, dsts, srcs, pb, pbd, pi):
                 plans = {"bulk": pb, "boundary": pbd, "interior": pi}
-                init_tbl = {"bulk": e_bulk, "boundary": e_b, "interior": e_i}
+                stub_tbl = {"bulk": e_bulk, "boundary": e_b, "interior": e_i}
 
-                def body(_i, carry):
-                    v, cur = carry
-                    tb = dict(init_tbl)
-                    tb.update(zip(needed, cur))
+                def body(_i, v):
+                    # rebuild the needed tables at the TOP of the body from
+                    # the carried var, so the loop carry is var_T alone
+                    # (~28 MB) — carrying the packed tables (~200-400 MB)
+                    # made XLA double-buffer them every iteration, which
+                    # dominated the round-2 solver-mode step and explains
+                    # its measured insensitivity to kernel/stream savings.
+                    # Same math: tables are always built from the
+                    # post-exchange state that feeds the sweep.
+                    tb = dict(stub_tbl)
+                    tb.update(zip(needed,
+                                  tables(v, *[plans[c] for c in needed])))
                     g = step(v, tb["bulk"], tb["boundary"], tb["interior"],
                              send_idx, send_mask, pack_scale,
                              dsts, srcs, pb, pbd, pi)
                     v2 = v + 1e-30 * g[:, :NV, :]     # toy state update
-                    v2 = exch(v2, send_idx, send_mask)
-                    new = tables(v2, *[plans[c] for c in needed])
-                    return (v2, tuple(new))
+                    return exch(v2, send_idx, send_mask)
 
-                out = jax.lax.fori_loop(
-                    0, n, body,
-                    (var_T, tuple(init_tbl[c] for c in needed)))
-                return out[0]
+                return jax.lax.fori_loop(0, n, body, var_T)
 
             self._step_cache[key] = run_n
         runner = self._step_cache[key]

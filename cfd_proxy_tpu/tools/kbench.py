@@ -301,15 +301,25 @@ def main(argv=None) -> int:
 
     if args.bp_alt:
         bp2 = args.bp_alt
+        # own degree-sorted relabel at bp2 granularity (block boundaries
+        # move with bp, so the in-block sort must be redone)
+        pos2 = np.arange(m.npoint) // bp2
+        order2 = np.lexsort((np.arange(m.npoint), -deg, pos2))
+        noo2 = np.empty(m.npoint, np.int64)
+        noo2[order2] = np.arange(m.npoint)
+        faces2 = noo2[m.faces].astype(np.int32)
+        vol2 = np.empty_like(m.volume)
+        vol2[noo2] = m.volume
         nd2 = ((m.npoint + bp2 - 1) // bp2) * bp2 + bp2
         inv2 = np.zeros(nd2)
-        inv2[: m.npoint] = 1.0 / m.volume
-        plan2 = build_block_plan(m.faces.astype(np.int32), m.normals, nd2,
+        inv2[: m.npoint] = 1.0 / vol2
+        plan2 = build_block_plan(faces2, m.normals, nd2,
                                  inv2, bp=bp2, all_blocks=True)
+        wks2 = prefix_widths(plan2.slot_w, bp2)
         print(f"alt: bp={bp2} nblocks={plan2.nblocks} K={plan2.kslots} "
-              f"ep={plan2.ep}")
+              f"ep={plan2.ep} compact={sum(wks2)}/{plan2.kslots * bp2} lanes")
         vT2 = np.zeros((NV, nd2), np.float32)
-        vT2[:7, : m.npoint] = var.T
+        vT2[:7, noo2] = var.T
         vT2 = jnp.asarray(vT2)
         pa2 = {
             "block_ids": jnp.asarray(plan2.block_ids),
@@ -319,12 +329,12 @@ def main(argv=None) -> int:
         pa2["srcs"] = jax.jit(gather_srcs)(
             vT2, jnp.asarray(slot_src_cols(plan2)))
 
-        def alt_fn(src_format):
+        def alt_fn(src_format, use_wks=None):
             def fn(v, pa):
                 return sweep_blocks(
                     v, pa, bp=bp2, ep=plan2.ep, kslots=plan2.kslots,
                     nblocks=plan2.nblocks, interpret=interpret, packed=True,
-                    src_format=src_format)
+                    src_format=src_format, wks=use_wks)
             return fn
 
         pa2b = dict(pa2)
@@ -335,6 +345,18 @@ def main(argv=None) -> int:
             pa2["slot_w"])
         variants["prod_alt"] = (alt_fn("f32"), vT2, pa2)
         variants["bf16sw_alt"] = (alt_fn("bf16d"), vT2, pa2b)
+        # compact at the alt block size (compact vs compact_alt decides the
+        # compact kernel's own bp optimum drift-free)
+        csw2 = jnp.asarray(compact_slot_w(plan2.slot_w, wks2))
+        pa2c = dict(pa2)
+        pa2c["slot_w"] = csw2
+        pa2c["srcs"] = jax.jit(lambda s: compact_srcs(s, wks2))(pa2["srcs"])
+        pa2cb = dict(pa2c)
+        pa2cb["srcs"] = jax.jit(lambda s: compact_srcs(s, wks2))(
+            pa2b["srcs"])
+        pa2cb["slot_w"] = jax.jit(lambda w: w.astype(jnp.bfloat16))(csw2)
+        variants["compact_alt"] = (alt_fn("f32", wks2), vT2, pa2c)
+        variants["compact_bsw_alt"] = (alt_fn("bf16d", wks2), vT2, pa2cb)
 
     def sampler(name):
         """Compile a variant's chained-loop runners; return a function that
@@ -398,7 +420,8 @@ def main(argv=None) -> int:
         # cancels in the abs-sum → 1e-2
         tols = {"prod": 1e-3, "nv7": 1e-3, "w16": 1e-2, "bf16src": 1e-2,
                 "bf16sw": 1e-2, "prod_alt": 1e-3, "bf16sw_alt": 1e-2,
-                "compact": 1e-3, "compact_bsw": 1e-2, "flat": 1e-3}
+                "compact": 1e-3, "compact_bsw": 1e-2, "flat": 1e-3,
+                "compact_alt": 1e-3, "compact_bsw_alt": 1e-2}
         for name in requested:
             if name not in tols:       # stream/wsum are not gg semantics
                 continue

@@ -111,6 +111,29 @@ def test_kbench_bp_alt_variants(capsys):
     assert "alt: bp=256" in capsys.readouterr().out
 
 
+def test_kbench_compact_variants(capsys):
+    """The --kcompact analogue variants (prefix layout + flat attribution
+    control) run and pass the on-device fingerprint check."""
+    from cfd_proxy_tpu.tools.kbench import main as kbench_main
+
+    rc = kbench_main(["--nx", "6", "--bp", "128", "--iters", "2",
+                      "--variants", "compact,compact_bsw,flat", "--check"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "check compact:" in out and "OK" in out
+
+
+def test_icibench_interpret_smoke(capsys):
+    """icibench's RDMA kernel traces and runs under interpret mode (the
+    real measurement needs hardware; this pins the code path)."""
+    from cfd_proxy_tpu.tools.icibench import main as icibench_main
+
+    rc = icibench_main(["--phases", "1", "--mb", "0.01", "--iters", "2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "GB/s payload" in out
+
+
 def test_golden_flux_model_roundtrip(tmp_path):
     ref = str(tmp_path / "flux.nc")
     assert golden_main(["dump", "--nx", "8", "--model", "flux",
