@@ -194,16 +194,16 @@ class GreenGaussPallas:
               "--src-dtype bfloat16 requires the packed kernel")
         self.src_dtype = src_dtype
         self.src_format = "bf16d" if src_dtype == "bfloat16" else "f32"
-        # COMPACT packed layout (--kcompact): points are degree-sorted within
-        # each block (block membership, ext lists unchanged) and the slot
-        # tables store only each slot's static lane PREFIX — the ~21% inert
-        # padding of a valence-skewed mesh drops out of the srcs and slot_w
-        # streams (ops/blocksweep.py::prefix_widths).  Packed kernel only
-        # (the gather formulation indexes the full (K, bp) slot rectangles).
+        # COMPACT prefix mode (--kcompact): points are degree-sorted within
+        # each block (block membership, ext lists unchanged).  For the
+        # packed kernel the slot tables store only each slot's static lane
+        # PREFIX — the ~21% inert padding of a valence-skewed mesh drops out
+        # of the srcs and slot_w streams (ops/blocksweep.py::prefix_widths).
+        # For the gather kernel the tables stay rectangular and the prefix
+        # only SKIPS the dead (tile, slot) pairs in the unrolled gather
+        # loops (the kernel is VPU-bound on gather issue, not streams).
         if kcompact is None:
-            kcompact = self.packed
-        check(not kcompact or self.packed,
-              "--kcompact requires the packed kernel")
+            kcompact = True
         self.kcompact = bool(kcompact)
         # bf16 HALO payloads (--halo-dtype bfloat16): the exchanged gradient
         # buffers are the comm bytes the overlap schedules hide — a pack-time
@@ -378,8 +378,9 @@ class GreenGaussPallas:
 
         w_dtype = (jnp.bfloat16 if self.meta_dtype == "bfloat16"
                    else np.float32)
-        # kcompact: weights stored in the compact prefix layout (P, nb, 3, L)
-        sw_tf = (None if wks is None
+        # kcompact + packed: weights stored in the compact prefix layout
+        # (P, nb, 3, L); the gather kernel keeps full rectangles
+        sw_tf = (None if wks is None or not self.packed
                  else (lambda h: compact_slot_w(h, wks)))
         return {
             "block_ids": stack("block_ids", np.int32),

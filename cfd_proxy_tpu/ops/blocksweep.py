@@ -366,8 +366,16 @@ def _masked_gather(tbl, idx, npass):
 # kept as HOST-side geometry metadata only.
 
 
-def _block_compute(bp: int, ep: int, kslots: int, accumulate: bool, op: str):
-    """Shared per-block compute body (used by the sweep and overlap kernels)."""
+def _block_compute(bp: int, ep: int, kslots: int, accumulate: bool, op: str,
+                   wks: tuple[int, ...] | None = None):
+    """Shared per-block compute body (used by the sweep and overlap kernels).
+
+    wks (compact prefix widths, --kcompact with the GATHER kernel): tile t
+    skips slot k entirely when wks[k] <= t*128 — with degree-sorted blocks
+    every lane of that tile has a zero weight there, so the gather+FMA is
+    provably inert.  The slot tables stay full rectangles (the gather kernel
+    is VPU-bound on gather issue, not on the idx/weight streams); only the
+    ~20% dead (tile, slot) pairs drop out of the unrolled loop."""
     npass = (bp + ep) // LANE
     ntile = bp // LANE
     rows = out_rows(op)
@@ -387,7 +395,9 @@ def _block_compute(bp: int, ep: int, kslots: int, accumulate: bool, op: str):
                 acc = init_ref[:, t * LANE : (t + 1) * LANE]
             else:
                 acc = jnp.zeros((rows, LANE), jnp.float32)
-            for k in range(kslots):
+            kt = (kslots if wks is None
+                  else sum(1 for w in wks if w > t * LANE))
+            for k in range(kt):
                 idx = sidx_ref[0, k, t * LANE : (t + 1) * LANE]   # (128,)
                 gat = _masked_gather(tbl, idx, npass)
                 wk = sw_ref[0, k, :, t * LANE : (t + 1) * LANE].astype(
@@ -506,7 +516,7 @@ def _sweep_kernel(bp: int, ep: int, kslots: int, accumulate: bool, op: str,
 
         return kernel
 
-    compute = _block_compute(bp, ep, kslots, accumulate, op)
+    compute = _block_compute(bp, ep, kslots, accumulate, op, wks)
 
     def kernel(bids_ref, own_ref, ext_ref, sidx_ref, sw_ref,
                scale_ref, *rest):
@@ -550,7 +560,9 @@ def sweep_blocks(
     npoint_dev = var_T.shape[1]
     accumulate = init is not None
     rows = out_rows(op)
-    check(wks is None or packed, "wks (compact layout) needs packed=True")
+    # wks with packed=True selects the COMPACT table layout; with the gather
+    # formulation it only skips the dead (tile, slot) pairs in the unrolled
+    # loops (tables stay rectangular — _block_compute docstring)
     kernel = _sweep_kernel(bp, ep, kslots, accumulate, op, packed, src_format,
                            wks)
 
@@ -676,12 +688,11 @@ def sweep_blocks_overlap(
     npoint_dev = var_T.shape[1]
     rows = out_rows(op)
     nph = int(sendbufs.shape[0])
-    check(wks is None or packed, "wks (compact layout) needs packed=True")
     if packed:
         compute_packed = _block_compute_packed(bp, kslots, True, op,
                                                src_format, wks)
     else:
-        compute_gather = _block_compute(bp, ep, kslots, True, op)
+        compute_gather = _block_compute(bp, ep, kslots, True, op, wks)
 
     def body(dsts_ref, srcs_ref, send_ref, recv_ref, send_sems, recv_sems,
              run_compute):

@@ -55,10 +55,11 @@ class SolverConfig:
     src_dtype: str = "float32"      # bfloat16 = delta-packed bf16 slot
                                     # sources: srcs stream halves, ~17%
                                     # faster, ~1e-3 rel bound (BASELINE.md)
-    kcompact: bool | None = None    # compact prefix slot layout (packed
-                                    # kernel): drop the inert padding slots
-                                    # from the srcs/slot_w streams; None =
-                                    # auto (on for the packed kernel)
+    kcompact: bool | None = None    # compact prefix slot mode: packed
+                                    # kernel drops the inert padding slots
+                                    # from its srcs/slot_w streams; gather
+                                    # kernel skips the dead (tile, slot)
+                                    # gather pairs; None = auto (on)
     halo_dtype: str = "float32"     # bfloat16 halves the exchanged gradient
                                     # payloads on the wire (pack-time cast,
                                     # unpack upcast); ghost gradients carry
@@ -429,9 +430,9 @@ def main(argv=None) -> int:
                          "a ~4e-3 rel bound)")
     ap.add_argument("--kcompact", default="auto",
                     choices=["auto", "on", "off"],
-                    help="compact prefix slot layout for the packed kernel "
-                         "(drops the inert padding slots from the srcs/"
-                         "slot_w streams); auto = on when --kernel packed")
+                    help="compact prefix slot mode: packed kernel stores "
+                         "prefix-compacted tables; gather kernel skips the "
+                         "dead (tile, slot) gather pairs; auto = on")
     ap.add_argument("--dtype", default="float32", choices=["float32", "float64"])
     ap.add_argument("--diag-frac", type=float, default=0.2)
     ap.add_argument("--stretch", type=float, default=1.0,

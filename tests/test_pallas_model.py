@@ -106,6 +106,22 @@ def test_kcompact_matches_uncompacted(mesh, gvar):
         np.testing.assert_array_equal(g_on, g_off, err_msg=s)
 
 
+def test_kcompact_gather_matches_uncompacted(mesh, gvar):
+    """For the gather kernel --kcompact only skips provably-inert
+    (tile, slot) gather pairs — results equal the uncompacted model's."""
+    parts = partition_mesh(mesh, 4, ghost_layers=1)
+    m_off = GreenGaussPallas(parts, NVAR, bp=256, interpret=True,
+                             kernel="gather", kcompact=False)
+    m_on = GreenGaussPallas(parts, NVAR, bp=256, interpret=True,
+                            kernel="gather", kcompact=True)
+    s_off = m_off.distribute_state(gvar)
+    s_on = m_on.distribute_state(gvar)
+    for s in ("bulk", "overlap"):
+        g_off = m_off.gather_global(np.asarray(m_off.step(s_off, s)))
+        g_on = m_on.gather_global(np.asarray(m_on.step(s_on, s)))
+        np.testing.assert_array_equal(g_on, g_off, err_msg=s)
+
+
 def test_force_rdma_self_send_p1(mesh, gvar):
     """P=1 fused-RDMA overlap (self-send phase) == the degraded early graph
     bitwise on owned columns — the mode used for the single-chip hardware

@@ -134,6 +134,18 @@ def test_icibench_interpret_smoke(capsys):
     assert "GB/s payload" in out
 
 
+def test_solver_attrib_smoke(capsys):
+    """The attribution harness builds and runs every knockout body (timing
+    may sit below the noise floor on a tiny CPU run — rc 1 is fine)."""
+    from cfd_proxy_tpu.tools.solver_attrib import main as attrib_main
+
+    for mode in ("noop", "all"):
+        rc = attrib_main(["--nx", "8", "--mode", mode, "--iters", "3",
+                          "--repeats", "2"])
+        assert rc in (0, 1)
+        assert f"mode={mode}" in capsys.readouterr().out
+
+
 def test_golden_flux_model_roundtrip(tmp_path):
     ref = str(tmp_path / "flux.nc")
     assert golden_main(["dump", "--nx", "8", "--model", "flux",
