@@ -38,8 +38,10 @@ the gap to the streaming memory floor (BASELINE.md):
              bf16sw/compact_bsw ratio 1.2094, IQR [1.1689, 1.3338] —
              0.298 → 0.247 ms (11.3 Gf/s raw reduced precision)
     flat     attribution control: prod's full bytes in compact's 3-D
-             layout — compact/flat isolates the byte saving, prod/flat the
-             4-D-vs-3-D BlockSpec DMA effect
+             layout.  VERDICT: prod/flat = 0.996, IQR [0.989, 1.039] —
+             layout-neutral; compact's win is entirely the lane cut.
+             compact/compact_alt at --bp-alt 8192: 0.944 f32 (noisy) /
+             0.846 bf16 — 8192 regresses, bp 4096 stays optimal
 
 Timing uses the two-point chained-loop method (solver.time_schedule): the
 axon tunnel's block_until_ready does not wait and dispatch costs ~30 ms.

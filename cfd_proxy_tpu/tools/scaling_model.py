@@ -34,7 +34,7 @@ from cfd_proxy_tpu.mesh.partition import partition_mesh, send_point_set
 
 
 def model_partitioning(mesh, P, ns_per_face, ici_gbps, rows,
-                       overlap_fixed_us=0.0):
+                       overlap_fixed_us=0.0, halo_bytes=4):
     """Per-shard times from the REAL phase schedule: wire volume is the
     PADDED per-phase buffer (nphases × s_max × rows × 4B for every phase a
     device actually sends to a peer), matching parallel/tlayout.py — the
@@ -56,7 +56,7 @@ def model_partitioning(mesh, P, ns_per_face, ici_gbps, rows,
         nfb = int(bsel.sum())
         nfi = p.nface - nfb
         nsend_phases = int((lay.dsts[d] != d).sum())
-        comm_bytes = nsend_phases * lay.s_max * rows * 4
+        comm_bytes = nsend_phases * lay.s_max * rows * halo_bytes
         ts_all = p.nface * ns_per_face * 1e-9
         ts_b = nfb * ns_per_face * 1e-9
         ts_i = nfi * ns_per_face * 1e-9
@@ -91,6 +91,9 @@ def main(argv=None) -> int:
                          "self-send DMA rate upper-bounds it)")
     ap.add_argument("--rows", type=int, default=24,
                     help="exchanged rows per point (24 = gg grads; 8 = flux)")
+    ap.add_argument("--halo-bytes", type=int, default=4, choices=[2, 4],
+                    help="wire bytes per exchanged value (4 = f32; 2 = the "
+                         "--halo-dtype bfloat16 payload option)")
     ap.add_argument("--overlap-fixed-us", type=float, default=70.0,
                     help="fused overlap kernel's measured per-step fixed "
                          "cost (barrier + DMA machinery; BASELINE.md round-3"
@@ -111,7 +114,8 @@ def main(argv=None) -> int:
     for P in args.parts:
         nface_total, t_bulk, t_over, eff = model_partitioning(
             mesh, P, args.ns_per_face, args.ici_gbps, args.rows,
-            overlap_fixed_us=args.overlap_fixed_us)
+            overlap_fixed_us=args.overlap_fixed_us,
+            halo_bytes=args.halo_bytes)
         if base is None:
             base = t_over
         eff_s = f"{eff:>8.1%}" if eff is not None else f"{'-':>8}"
