@@ -161,6 +161,7 @@ class GreenGaussPallas:
         min_phases: int = 1,
         kcompact: bool | None = None,
         halo_dtype: str = "float32",
+        grad_dtype: str = "float32",
     ):
         if interpret is None:
             # Mosaic compiles only for TPU; interpret elsewhere (CPU tests)
@@ -216,6 +217,25 @@ class GreenGaussPallas:
               "halo_dtype must be float32|bfloat16, got %r", halo_dtype)
         self.halo_dtype = halo_dtype
         self._halo_jnp = (jnp.bfloat16 if halo_dtype == "bfloat16"
+                          else jnp.float32)
+        # bf16 GRADIENT stores (--grad-dtype bfloat16): the (3·NV, npts)
+        # output planes are the largest remaining f32 stream once sources
+        # and weights are bf16 — storing them bf16 measured a ~5.6% paired
+        # win on the reduced-precision kernel (ratio 1.056, IQR
+        # [1.042, 1.102]; the naive 17%-byte prediction is eaten by the
+        # 24-sublane bf16 store relayout, the nv7 lesson in its mild form).
+        # Accumulation stays f32 in-kernel; every STORED grad buffer
+        # (boundary partials, init chains, final planes) carries the dtype
+        # so the schedule-composition aliases stay consistent.  Semantics:
+        # results round to ~8 mantissa bits (~4e-3 field-norm bound), and
+        # cross-schedule agreement loosens to the same bound (bulk rounds
+        # once; early/overlap round the boundary partial too).  Off by
+        # default; the f32 headline and the 1e-6 schedule-equivalence
+        # invariant are unchanged without the flag.
+        check(grad_dtype in ("float32", "bfloat16"),
+              "grad_dtype must be float32|bfloat16, got %r", grad_dtype)
+        self.grad_dtype = grad_dtype
+        self._grad_jnp = (jnp.bfloat16 if grad_dtype == "bfloat16"
                           else jnp.float32)
         check(nvar <= NV, "nvar %d > padded NV %d", nvar, NV)
         # the flux kernel reads var[:3] as the velocity vector; with fewer
@@ -526,7 +546,7 @@ class GreenGaussPallas:
             var_T, pa, bp=self.bp, ep=ep, kslots=ks, nblocks=nb,
             init=init, interpret=self.interpret, op=self.op,
             packed=self.packed, src_format=self.src_format,
-            wks=self._wks[cls],
+            wks=self._wks[cls], out_dtype=self._grad_jnp,
         )
 
     def _exchange_start(self, g, send_idx, send_mask, dtype=None):
@@ -580,7 +600,8 @@ class GreenGaussPallas:
                     # fired BEFORE the fused kernel so XLA can hide them under
                     # the same interior compute
                     ici, dcn = self._ici_phases, self._dcn_phases
-                    zeros = jnp.zeros((out_rows(self.op), lay.ndev), jnp.float32)
+                    zeros = jnp.zeros((out_rows(self.op), lay.ndev),
+                                      self._grad_jnp)
                     gb = self._sweep("boundary", v, e_b[0], _sq(pbd), init=zeros)
                     # boundary sums are UNSCALED; apply 1/V at pack time
                     # (then the --halo-dtype wire cast, if any)
@@ -603,6 +624,7 @@ class GreenGaussPallas:
                         interpret=self.interpret, op=self.op,
                         packed=self.packed, src_format=self.src_format,
                         wks=self._wks["interior"],
+                        out_dtype=self._grad_jnp,
                     )
                     for j, k in enumerate(ici):
                         g = jax.lax.dynamic_update_slice(
@@ -615,7 +637,8 @@ class GreenGaussPallas:
                 else:  # early (or overlap with no comm / no ICI phase —
                        # a pure-DCN topology has nothing for the fused
                        # in-kernel RDMA path to carry)
-                    zeros = jnp.zeros((out_rows(self.op), lay.ndev), jnp.float32)
+                    zeros = jnp.zeros((out_rows(self.op), lay.ndev),
+                                      self._grad_jnp)
                     gb = self._sweep("boundary", v, e_b[0], _sq(pbd), init=zeros)
                     bufs = self._exchange_start(gb, sidx, pscale,
                                                 dtype=self._halo_jnp)
@@ -742,6 +765,10 @@ class GreenGaussPallas:
         gg: (N, nvar*3), column v*3+d (matches the XLA backend convention);
         flux: (N, nvar)."""
         arr = np.asarray(stacked)
+        if arr.dtype not in (np.float32, np.float64):
+            # bf16 grads (--grad-dtype) arrive as ml_dtypes arrays — widen
+            # so downstream numpy comparisons behave
+            arr = arr.astype(np.float32)
         N = sum(p.nowned for p in self.parts)
         if self.op == "flux":
             out = np.zeros((N, self.nvar), dtype=arr.dtype)

@@ -392,7 +392,8 @@ def _block_compute(bp: int, ep: int, kslots: int, accumulate: bool, op: str,
             # boundary∘interior chain adds slots in exactly the bulk order —
             # the bit-equality-of-schedules invariant (SURVEY.md §4b).
             if accumulate:
-                acc = init_ref[:, t * LANE : (t + 1) * LANE]
+                acc = init_ref[:, t * LANE : (t + 1) * LANE].astype(
+                    jnp.float32)
             else:
                 acc = jnp.zeros((rows, LANE), jnp.float32)
             kt = (kslots if wks is None
@@ -414,7 +415,7 @@ def _block_compute(bp: int, ep: int, kslots: int, accumulate: bool, op: str,
                                        + uow[None, :] * gat) \
                         - 0.5 * a[None, :] * (gat - own_tile)
             acc = acc * scale_ref[0, 0, t * LANE : (t + 1) * LANE][None, :]
-            out_ref[:, t * LANE : (t + 1) * LANE] = acc
+            out_ref[:, t * LANE : (t + 1) * LANE] = acc.astype(out_ref.dtype)
 
     return compute
 
@@ -453,7 +454,8 @@ def _block_compute_packed(bp: int, kslots: int, accumulate: bool, op: str,
     def compute(own_ref, src_ref, sw_ref, scale_ref, init_ref, out_ref):
         own = own_ref[:]                                      # (NV, bp)
         if accumulate:
-            acc = init_ref[:]
+            # init may be bf16 (--grad-dtype bfloat16); accumulate in f32
+            acc = init_ref[:].astype(jnp.float32)
         else:
             acc = jnp.zeros((rows, bp), jnp.float32)
         off = 0
@@ -495,7 +497,7 @@ def _block_compute_packed(bp: int, kslots: int, accumulate: bool, op: str,
                 # suffix) is pure vector ops
                 acc = jnp.concatenate([acc[:, :w] + contrib, acc[:, w:]],
                                       axis=1)
-        out_ref[:] = acc * scale_ref[0, 0][None, :]
+        out_ref[:] = (acc * scale_ref[0, 0][None, :]).astype(out_ref.dtype)
 
     return compute
 
@@ -544,6 +546,7 @@ def sweep_blocks(
     packed: bool = False,            # PACKED formulation (see module doc)
     src_format: str = "f32",         # f32 | bf16d (bf16 deltas; packed only)
     wks: tuple[int, ...] | None = None,  # COMPACT prefix widths (packed only)
+    out_dtype=jnp.float32,           # f32 | bf16 gradient store (--grad-dtype)
 ) -> jax.Array:
     """Run the block sweep; returns (out_rows(op), npoint_dev).
 
@@ -556,9 +559,22 @@ def sweep_blocks(
 
     wks (packed only): COMPACT layout — srcs (nblocks, NV, L) and slot_w
     (nblocks, 3, L), L = Σ wks; see _block_compute_packed.
+
+    out_dtype: dtype of the STORED gradient planes (accumulation stays f32
+    in-kernel; only the final per-block store rounds).  bf16 shrinks the
+    largest remaining f32 stream — the (3·NV, npts) output — by half; with
+    accumulate (schedule composition) the boundary sums round once at the
+    boundary-sweep store and are upcast back to f32 before the interior
+    slots accumulate, so the extra error stays ~1 output rounding (~4e-3
+    rel) rather than compounding per slot.  init must match out_dtype
+    (they alias).
     """
     npoint_dev = var_T.shape[1]
     accumulate = init is not None
+    if accumulate and init.dtype != jnp.dtype(out_dtype):
+        raise ValueError(
+            f"init dtype {init.dtype} must match out_dtype "
+            f"{jnp.dtype(out_dtype)} (aliased buffers)")
     rows = out_rows(op)
     # wks with packed=True selects the COMPACT table layout; with the gather
     # formulation it only skips the dead (tile, slot) pairs in the unrolled
@@ -648,7 +664,7 @@ def sweep_blocks(
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((rows, npoint_dev), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((rows, npoint_dev), out_dtype),
         interpret=interpret,
         **kwargs,
     )(plan_arrays["block_ids"], *args)
@@ -672,6 +688,7 @@ def sweep_blocks_overlap(
     packed: bool = False,
     src_format: str = "f32",
     wks: tuple[int, ...] | None = None,  # COMPACT prefix widths (packed only)
+    out_dtype=jnp.float32,           # grad store dtype (see sweep_blocks)
 ) -> tuple[jax.Array, jax.Array]:
     """FUSED interior sweep + one-sided halo push — the GASPI analogue.
 
@@ -688,6 +705,10 @@ def sweep_blocks_overlap(
     npoint_dev = var_T.shape[1]
     rows = out_rows(op)
     nph = int(sendbufs.shape[0])
+    if init.dtype != jnp.dtype(out_dtype):
+        raise ValueError(
+            f"init dtype {init.dtype} must match out_dtype "
+            f"{jnp.dtype(out_dtype)} (aliased buffers)")
     if packed:
         compute_packed = _block_compute_packed(bp, kslots, True, op,
                                                src_format, wks)
@@ -823,7 +844,7 @@ def sweep_blocks_overlap(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((rows, npoint_dev), jnp.float32),
+            jax.ShapeDtypeStruct((rows, npoint_dev), out_dtype),
             jax.ShapeDtypeStruct(sendbufs.shape, sendbufs.dtype),
         ),
         input_output_aliases={n_ops - 2: 0, n_ops - 1: 1},

@@ -64,6 +64,11 @@ class SolverConfig:
                                     # payloads on the wire (pack-time cast,
                                     # unpack upcast); ghost gradients carry
                                     # a ~4e-3 rel bound, owned untouched
+    grad_dtype: str = "float32"     # bfloat16 stores the gradient planes
+                                    # (the largest remaining f32 stream) in
+                                    # bf16: ~5.6%% paired win on top of the
+                                    # reduced-precision mode; results carry
+                                    # a ~4e-3 field-norm bound (BASELINE.md)
     bp: int = 4096              # points per Pallas block — the thread-config
                                 # analogue (reference: pthread count sweeps).
                                 # Paired block-size scan (BASELINE.md): f32
@@ -127,7 +132,8 @@ def build_model(cfg: SolverConfig):
                                  meta_dtype=cfg.meta_dtype,
                                  src_dtype=cfg.src_dtype,
                                  kcompact=cfg.kcompact,
-                                 halo_dtype=cfg.halo_dtype)
+                                 halo_dtype=cfg.halo_dtype,
+                                 grad_dtype=cfg.grad_dtype)
     else:
         if cfg.model != "gg":
             raise SystemExit("--model flux requires --backend pallas")
@@ -254,6 +260,7 @@ def run(cfg: SolverConfig) -> tuple[dict, list[IterationStats]]:
         "nvar": cfg.nvar,
         "dtype": cfg.dtype,
         "src_dtype": cfg.src_dtype,
+        "grad_dtype": cfg.grad_dtype,
         "solver_mode": cfg.solver_mode,
         "backend": cfg.backend,
         # effective block size (the model caps cfg.bp at the shard size)
@@ -428,6 +435,12 @@ def main(argv=None) -> int:
                     help="wire precision of exchanged gradient halo payloads "
                          "(bfloat16: comm bytes halve; ghost gradients carry "
                          "a ~4e-3 rel bound)")
+    ap.add_argument("--grad-dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="stored gradient precision (bfloat16: the output "
+                         "planes — the largest remaining f32 stream — halve; "
+                         "~4e-3 field-norm bound, schedules agree to the "
+                         "same bound instead of 1e-6)")
     ap.add_argument("--kcompact", default="auto",
                     choices=["auto", "on", "off"],
                     help="compact prefix slot mode: packed kernel stores "
@@ -463,6 +476,7 @@ def main(argv=None) -> int:
         force_rdma=args.force_rdma, slice_size=args.slice_size,
         meta_dtype=args.meta_dtype, src_dtype=args.src_dtype,
         halo_dtype=args.halo_dtype,
+        grad_dtype=args.grad_dtype,
         kcompact={"auto": None, "on": True, "off": False}[args.kcompact],
         bp=args.bp, dtype=args.dtype,
         diag_frac=args.diag_frac, stretch=args.stretch, seed=args.seed,

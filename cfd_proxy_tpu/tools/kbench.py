@@ -272,11 +272,12 @@ def main(argv=None) -> int:
     pa_cb["srcs"] = jax.jit(lambda s: compact_srcs(s, wks))(pa_bf["srcs"])
     pa_cb["slot_w"] = jax.jit(lambda w: w.astype(jnp.bfloat16))(csw)
 
-    def compact_fn(src_format, use_wks):
+    def compact_fn(src_format, use_wks, out_dtype=jnp.float32):
         def fn(v, pa):
             return sweep_blocks(v, pa, bp=bp, ep=plan.ep, kslots=K,
                                 nblocks=nb, interpret=interpret, packed=True,
-                                src_format=src_format, wks=use_wks)
+                                src_format=src_format, wks=use_wks,
+                                out_dtype=out_dtype)
         return fn
 
     # ---- flat: attribution control for compact — the SAME bytes as prod
@@ -298,6 +299,7 @@ def main(argv=None) -> int:
         "w16": (prod_fn, var_T, pa_w),
         "compact": (compact_fn("f32", wks), var_T, pa_c),
         "compact_bsw": (compact_fn("bf16d", wks), var_T, pa_cb),
+        "compact_bso": (compact_fn("bf16d", wks, jnp.bfloat16), var_T, pa_cb),
         "flat": (compact_fn("f32", wks_flat), var_T, pa_f),
     }
 
