@@ -192,6 +192,32 @@ def main() -> int:
                 e_bf["faces_per_sec"] / f32_bulk["faces_per_sec"])
         log(f"reduced-precision bulk: {e_bf['faces_per_sec']/1e9:.2f} Gf/s "
             f"({e_bf['median_s']*1e3:.3f} ms)")
+        if os.environ.get("BENCH_BF16_GRAD_ROW", "1") != "0":
+            # the full bf16 throughput stack adds --grad-dtype bfloat16:
+            # the output gradient planes (the largest remaining f32 stream)
+            # store in bf16 — a further paired-measured ~5.6% on this
+            # kernel (BASELINE.md).  Error bound loosens to ~4e-3
+            # field-norm (stores round; accumulation stays f32 in-kernel).
+            cfg_bg = _replace(cfg_bf, grad_dtype="bfloat16")
+            res_bg, _ = run(cfg_bg)
+            e_bg = res_bg["schedules"]["bulk"]
+            out["reduced_precision"]["with_bf16_grads"] = {
+                "grad_dtype": "bfloat16",
+                "faces_per_sec": e_bg["faces_per_sec"],
+                "median_ms": e_bg["median_s"] * 1e3,
+                "speedup_vs_reduced": (e_bg["faces_per_sec"]
+                                       / e_bf["faces_per_sec"]),
+                # single run vs single run — subject to the chip's ±8-15%
+                # across-run drift; the decided verdict is the KERNEL-level
+                # paired ratio 1.056 (kbench compact_bso, BASELINE.md).  At
+                # the model level the ~5% kernel win is near the noise
+                # floor (the exchange/scale steps outside the kernel add
+                # f32<->bf16 casts that eat part of it).
+                "note": "single-run; kernel-level paired verdict 1.056",
+            }
+            log(f"reduced-precision + bf16 grads: "
+                f"{e_bg['faces_per_sec']/1e9:.2f} Gf/s "
+                f"({e_bg['median_s']*1e3:.3f} ms)")
     if (on_tpu and backend == "pallas" and schedule == "all"
             and os.environ.get("BENCH_SMALL_ROW", "1") != "0"):
         # small-mesh schedule row: the regime where the fused-RDMA overlap

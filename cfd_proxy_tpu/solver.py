@@ -66,7 +66,7 @@ class SolverConfig:
                                     # a ~4e-3 rel bound, owned untouched
     grad_dtype: str = "float32"     # bfloat16 stores the gradient planes
                                     # (the largest remaining f32 stream) in
-                                    # bf16: ~5.6%% paired win on top of the
+                                    # bf16: ~5.6% paired win on top of the
                                     # reduced-precision mode; results carry
                                     # a ~4e-3 field-norm bound (BASELINE.md)
     bp: int = 4096              # points per Pallas block — the thread-config
