@@ -208,12 +208,11 @@ def main() -> int:
                 "speedup_vs_reduced": (e_bg["faces_per_sec"]
                                        / e_bf["faces_per_sec"]),
                 # single run vs single run — subject to the chip's ±8-15%
-                # across-run drift; the decided verdict is the KERNEL-level
-                # paired ratio 1.056 (kbench compact_bso, BASELINE.md).  At
-                # the model level the ~5% kernel win is near the noise
-                # floor (the exchange/scale steps outside the kernel add
-                # f32<->bf16 casts that eat part of it).
-                "note": "single-run; kernel-level paired verdict 1.056",
+                # across-run drift; the decided verdicts are PAIRED:
+                # kernel-level 1.056 (kbench compact_bso) and model-level
+                # 1.058 (tools/mbench.py), BASELINE.md.
+                "note": "single-run; paired verdicts 1.056 kernel / "
+                        "1.058 model (mbench)",
             }
             log(f"reduced-precision + bf16 grads: "
                 f"{e_bg['faces_per_sec']/1e9:.2f} Gf/s "

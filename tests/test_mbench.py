@@ -1,0 +1,53 @@
+"""Tests for tools/mbench.py — the model-level paired A/B harness."""
+
+import dataclasses
+
+import pytest
+
+from cfd_proxy_tpu.solver import SolverConfig
+from cfd_proxy_tpu.tools.mbench import _MODEL_FIELDS, main, parse_overrides
+from cfd_proxy_tpu.utils.errors import CheckError
+
+
+def test_parse_overrides_types():
+    base = SolverConfig()
+    got = parse_overrides(
+        base, "src_dtype=bfloat16,bp=512,force_rdma=1,kcompact=off")
+    assert got.src_dtype == "bfloat16"
+    assert got.bp == 512 and isinstance(got.bp, int)
+    assert got.force_rdma is True
+    assert got.kcompact is False
+    # base is untouched (replace, not mutation)
+    assert base.src_dtype == "float32" and base.bp == 4096
+
+
+def test_parse_overrides_rejects_unknown():
+    with pytest.raises(CheckError, match="unknown SolverConfig field"):
+        parse_overrides(SolverConfig(), "not_a_field=1")
+    with pytest.raises(CheckError, match="field=value"):
+        parse_overrides(SolverConfig(), "oops")
+
+
+def test_model_fields_exist():
+    names = {f.name for f in dataclasses.fields(SolverConfig)}
+    assert set(_MODEL_FIELDS) <= names
+
+
+def test_mbench_shared_model_schedule_ab(capsys):
+    """Schedule A/B on equal configs shares one model and emits the paired
+    ratio line.  Tiny mesh + interpret mode: ratios are mechanics-only."""
+    rc = main(["--nx", "10", "--ny", "9", "--nz", "8", "--parts", "1",
+               "--iters", "20", "--repeats", "2", "--warmup", "0",
+               "--a", "schedule=bulk", "--b", "schedule=early", "--json"])
+    assert rc == 0
+    out = capsys.readouterr()
+    assert '"ratio_a_over_b"' in out.out
+    assert "share one model" in out.err
+
+
+def test_mbench_two_models(capsys):
+    rc = main(["--nx", "10", "--ny", "9", "--nz", "8", "--parts", "1",
+               "--iters", "20", "--repeats", "2", "--warmup", "0",
+               "--b", "grad_dtype=bfloat16", "--json"])
+    assert rc == 0
+    assert '"pairs": 2' in capsys.readouterr().out

@@ -189,6 +189,24 @@ def test_bf16_src_dtype_flux(mesh, gvar):
     assert 0 < err < 5e-3, err
 
 
+def test_bf16_grad_dtype_flux(mesh, gvar):
+    """--grad-dtype bfloat16 on the flux op: the (NV, npts) flux planes
+    store bf16 through the same out_ref cast path as gg; bounded vs the
+    f32 flux model across all schedules."""
+    parts = partition_mesh(mesh, 2)
+    outs = {}
+    for gd in ("float32", "bfloat16"):
+        m = GreenGaussPallas(parts, NVAR, bp=128, interpret=True, op="flux",
+                             grad_dtype=gd)
+        st = m.distribute_state(gvar)
+        outs[gd] = {s: np.asarray(m.step(st, s), dtype=np.float32)
+                    for s in ("bulk", "early", "overlap")}
+    scale = max(1.0, np.abs(outs["float32"]["bulk"]).max())
+    for s in ("bulk", "early", "overlap"):
+        err = np.abs(outs["bfloat16"][s] - outs["float32"][s]).max() / scale
+        assert 0 < err < 5e-3, f"{s}: {err}"
+
+
 def test_reduced_precision_combined(mesh, gvar, gref):
     """--src-dtype bfloat16 --meta-dtype bfloat16 together (the bench.py
     reduced_precision row, ~1.29x the f32 kernel on hardware): still bounded
