@@ -45,30 +45,33 @@ def measure_cpu_golden(nx: int = 32) -> dict:
     m = generate_mesh(nx, nx, nx, jitter=0.05, diag_frac=0.2, seed=0)
     var = make_state(m.npoint, 7, seed=1).astype("float64")
 
-    def best(fn, reps=3):
+    def best(fn, nface, reps=3):
+        # nface must be the face count of the mesh fn actually sweeps —
+        # closing over m.nface here once under-reported the DRAM-bound rate
+        # 8.15x (the md lambda swept 824k faces but divided by m's 101k)
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
             fn()
             ts.append(time.perf_counter() - t0)
-        return m.nface / min(ts)
+        return nface / min(ts)
 
     from cfd_proxy_tpu.native import lib
 
     out = {"cpu_nface": m.nface, "host_cores": _os.cpu_count() or 1}
     out["numpy_fps"] = best(
-        lambda: compute_gradients_gg(var, m.faces, m.normals))
+        lambda: compute_gradients_gg(var, m.faces, m.normals), m.nface)
     if lib() is not None:
         # validate endpoints ONCE outside the timed lambdas (validate=False
         # below) so the denominator times only the sweep, not a per-rep scan
         assert m.faces.min() >= 0 and m.faces.max() < m.npoint
         out["c1_fps"] = best(
             lambda: golden_gg_c(var, m.faces, m.normals, nthreads=1,
-                                validate=False))
+                                validate=False), m.nface)
         nt = out["host_cores"]
         out["call_fps"] = (out["c1_fps"] if nt <= 1 else best(
             lambda: golden_gg_c(var, m.faces, m.normals, nthreads=nt,
-                                validate=False)))
+                                validate=False), m.nface))
         # DRAM-bound 1-core rate: the small mesh's ~26 MB working set is
         # L3-resident on an idle host (measured up to ~29 Mf/s — 2-3x the
         # round-2 loaded-host figures), which is NOT the rate a node core
@@ -83,7 +86,7 @@ def measure_cpu_golden(nx: int = 32) -> dict:
         out["cpu_dram_nface"] = md.nface
         out["c1_dram_fps"] = best(
             lambda: golden_gg_c(vard, md.faces, md.normals, nthreads=1,
-                                validate=False))
+                                validate=False), md.nface)
     log(f"cpu golden: {m.nface} faces, numpy {out['numpy_fps']/1e6:.2f} "
         f"Mf/s, C 1-core {out.get('c1_fps', 0)/1e6:.2f} Mf/s, "
         f"C {out['host_cores']}-core {out.get('call_fps', 0)/1e6:.2f} Mf/s, "

@@ -349,8 +349,13 @@ class GreenGaussPallas:
                 sw = np.stack([pl2.slot_w for pl2 in padded])
                 self._wks[c] = prefix_widths(sw, bp)
             else:
+                sw = None
                 self._wks[c] = None
-            self._plans_dev[c] = self._stack_plans(padded, self._wks[c])
+            # pass the already-stacked slot_w through — re-stacking inside
+            # _stack_plans would transiently double the largest plan array
+            # (~1 GB/class at the 44M-face capacity ceiling)
+            self._plans_dev[c] = self._stack_plans(padded, self._wks[c],
+                                                   slot_w_stacked=sw)
         del raw, face_sets
 
         def put(arr):
@@ -387,11 +392,15 @@ class GreenGaussPallas:
         self._step_cache: dict = {}
 
     def _stack_plans(self, plans: list[BlockPlan],
-                     wks: tuple[int, ...] | None = None) -> dict:
+                     wks: tuple[int, ...] | None = None,
+                     slot_w_stacked: np.ndarray | None = None) -> dict:
         def stack(key, dtype, transform=None):
             # host numpy placed directly with the sharding (see __init__'s
             # put(): no eager jnp.asarray hop through device 0)
-            host = np.stack([getattr(p, key) for p in plans])
+            if key == "slot_w" and slot_w_stacked is not None:
+                host = slot_w_stacked  # caller already stacked it (kcompact)
+            else:
+                host = np.stack([getattr(p, key) for p in plans])
             if transform is not None:
                 host = transform(host)
             return jax.device_put(host.astype(dtype), self._sharding)

@@ -25,7 +25,8 @@ from cfd_proxy_tpu.mesh.generator import generate_mesh, make_state
 from cfd_proxy_tpu.mesh.partition import partition_mesh
 from cfd_proxy_tpu.mesh.reader import partition_path, read_partition
 from cfd_proxy_tpu.parallel.schedules import SCHEDULES
-from cfd_proxy_tpu.utils.timing import IterationStats, format_stats_table
+from cfd_proxy_tpu.utils.timing import (IterationStats, format_stats_table,
+                                        two_point_sampler)
 
 
 @dataclass
@@ -201,16 +202,12 @@ def time_schedule(
         # (remote executable caching); --warmup sets how many to burn
         _sync_scalar(big(*args))
     stats = IterationStats(schedule)
+    sample = two_point_sampler(lambda: _sync_scalar(small(*args)),
+                               lambda: _sync_scalar(big(*args)), iters)
     for _ in range(repeats):
-        t0 = time.perf_counter()
-        _sync_scalar(big(*args))
-        t_big = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        _sync_scalar(small(*args))
-        t_small = time.perf_counter() - t0
-        diff = t_big - t_small
-        if diff >= 0.05 * t_big:
-            stats.add(diff / iters)
+        v = sample()
+        if v is not None:
+            stats.add(v)
     if stats.n == 0:
         # every repeat was below the tunnel's dispatch-noise floor: the
         # two-point difference no longer measures the iteration — report NaN

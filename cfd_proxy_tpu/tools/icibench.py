@@ -22,9 +22,10 @@ as the scaling model's --ici-gbps; the tool prints that suggestion.
 from __future__ import annotations
 
 import argparse
-import time
 
 import numpy as np
+
+from cfd_proxy_tpu.utils.timing import two_point_sampler
 
 
 def main(argv=None) -> int:
@@ -127,14 +128,12 @@ def main(argv=None) -> int:
         n0 = max(1, args.iters // 10)
         sync(n0)
         sync(n0 + args.iters)              # compile both lengths
+        inner = two_point_sampler(lambda: sync(n0),
+                                  lambda: sync(n0 + args.iters), args.iters)
 
         def sample():
-            t0 = time.perf_counter(); sync(n0 + args.iters)
-            tb = time.perf_counter() - t0
-            t0 = time.perf_counter(); sync(n0)
-            ts = time.perf_counter() - t0
-            diff = tb - ts
-            return diff / args.iters if diff > 0.05 * tb else float("nan")
+            v = inner()
+            return float("nan") if v is None else v
 
         return sample
 

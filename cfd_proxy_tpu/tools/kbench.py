@@ -58,9 +58,10 @@ Usage:  python -m cfd_proxy_tpu.tools.kbench --nx 96 --variants prod,stream
 from __future__ import annotations
 
 import argparse
-import time
 
 import numpy as np
+
+from cfd_proxy_tpu.utils.timing import two_point_sampler
 
 
 def main(argv=None) -> int:
@@ -380,16 +381,12 @@ def main(argv=None) -> int:
         n0 = max(1, args.iters // 10)
         sync(n0)
         sync(n0 + args.iters)  # compiles
+        inner = two_point_sampler(lambda: sync(n0),
+                                  lambda: sync(n0 + args.iters), args.iters)
 
         def sample():
-            t0 = time.perf_counter(); sync(n0 + args.iters)
-            tb = time.perf_counter() - t0
-            t0 = time.perf_counter(); sync(n0)
-            ts = time.perf_counter() - t0
-            diff = tb - ts
-            if diff < 0.05 * tb:
-                return float("nan")
-            return diff / args.iters
+            v = inner()
+            return float("nan") if v is None else v
 
         return sample
 
@@ -425,7 +422,11 @@ def main(argv=None) -> int:
         tols = {"prod": 1e-3, "nv7": 1e-3, "w16": 1e-2, "bf16src": 1e-2,
                 "bf16sw": 1e-2, "prod_alt": 1e-3, "bf16sw_alt": 1e-2,
                 "compact": 1e-3, "compact_bsw": 1e-2, "flat": 1e-3,
-                "compact_alt": 1e-3, "compact_bsw_alt": 1e-2}
+                "compact_alt": 1e-3, "compact_bsw_alt": 1e-2,
+                # bf16 grad STORES add one output rounding (~4e-3 pointwise,
+                # partially cancelling in the abs-sum) on top of bsw's bf16
+                # source/weight error
+                "compact_bso": 1e-2}
         for name in requested:
             if name not in tols:       # stream/wsum are not gg semantics
                 continue

@@ -8,8 +8,9 @@ two kernel verdicts that FLIPPED under pairing, and the --grad-dtype lever
 measured a 1.056 kernel-paired win yet read 0.973x in a single-run bench
 pair).  kbench pairs raw `sweep_blocks` calls; this tool pairs two full
 `GreenGaussPallas` configurations through the same chained-loop two-point
-method the solver uses (solver.time_schedule), interleaving samples ABAB so
-slow drift cancels in the per-pair ratio.
+method the solver uses (solver.time_schedule), interleaving samples in
+alternating order (A,B then B,A, ...) so slow drift and any run-second
+bias cancel in the per-pair ratio.
 
 Usage (override strings are comma-separated SolverConfig field=value):
 
@@ -30,12 +31,12 @@ import argparse
 import dataclasses
 import json
 import sys
-import time
 
 import numpy as np
 
 from cfd_proxy_tpu.solver import SolverConfig, _sync_scalar
 from cfd_proxy_tpu.utils.errors import CheckError, check
+from cfd_proxy_tpu.utils.timing import two_point_sampler
 
 # SolverConfig fields that change the constructed model (everything else —
 # schedule, iters, warmup — only changes how it is driven)
@@ -46,15 +47,19 @@ _MODEL_FIELDS = (
 
 
 def _coerce(field: dataclasses.Field, raw: str):
-    t = field.type
-    if t in ("bool", bool) or isinstance(field.default, bool):
-        return raw.lower() in ("1", "true", "on", "yes")
-    if isinstance(field.default, int) and not isinstance(field.default, bool):
-        return int(raw)
-    if isinstance(field.default, float):
-        return float(raw)
+    # SolverConfig annotations are strings ("int | None", "bool", ...) —
+    # coerce by annotation first so None-default numerics (slice_size)
+    # don't leak through as raw strings
+    t = str(field.type)
     if raw == "None":
         return None
+    if "bool" in t or isinstance(field.default, bool):
+        return raw.lower() in ("1", "true", "on", "yes")
+    if "int" in t or (isinstance(field.default, int)
+                      and not isinstance(field.default, bool)):
+        return int(raw)
+    if ("float" in t and "str" not in t) or isinstance(field.default, float):
+        return float(raw)
     return raw
 
 
@@ -110,20 +115,8 @@ def _sampler(model, cfg: SolverConfig, iters: int):
     args = model.iter_args(var)
     _sync_scalar(small(*args))  # compile
     _sync_scalar(big(*args))
-
-    def sample():
-        t0 = time.perf_counter()
-        _sync_scalar(big(*args))
-        t_big = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        _sync_scalar(small(*args))
-        t_small = time.perf_counter() - t0
-        diff = t_big - t_small
-        if diff < 0.05 * t_big:
-            return None  # below the tunnel's dispatch-noise floor
-        return diff / iters
-
-    return sample
+    return two_point_sampler(lambda: _sync_scalar(small(*args)),
+                             lambda: _sync_scalar(big(*args)), iters)
 
 
 def main(argv=None) -> int:
@@ -204,7 +197,14 @@ def main(argv=None) -> int:
 
     ratios, ta_all, tb_all, skipped = [], [], [], 0
     for r in range(args.repeats):
-        ta, tb = sample_a(), sample_b()
+        # alternate within-pair order (A,B then B,A) so any systematic
+        # run-second effect (executor-cache warmth, power state) cancels
+        # across pairs instead of biasing every ratio one way — same reason
+        # kbench alternates
+        if r % 2 == 0:
+            ta, tb = sample_a(), sample_b()
+        else:
+            tb, ta = sample_b(), sample_a()
         if ta is None or tb is None:
             skipped += 1
             continue

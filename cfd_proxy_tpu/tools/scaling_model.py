@@ -97,7 +97,11 @@ def main(argv=None) -> int:
     ap.add_argument("--overlap-fixed-us", type=float, default=70.0,
                     help="fused overlap kernel's measured per-step fixed "
                          "cost (barrier + DMA machinery; BASELINE.md round-3"
-                         " small-mesh row)")
+                         " small-mesh row).  The EXPOSED cost shrinks with "
+                         "shard size as it hides under the longer sweep — "
+                         "paired P=1 datapoints: ~70 us at 390k faces, "
+                         "~25 us at 2.8M (mbench row); 70 is the "
+                         "conservative default")
     ap.add_argument("--diag-frac", type=float, default=0.2)
     args = ap.parse_args(argv)
 

@@ -24,9 +24,10 @@ step is REBUILD-bound; the sweep is noise.
 from __future__ import annotations
 
 import argparse
-import time
 
 import numpy as np
+
+from cfd_proxy_tpu.utils.timing import two_point_sampler
 
 MODES = ("noop", "extsonly", "tablesonly", "sweeponly", "all")
 
@@ -110,15 +111,13 @@ def main(argv=None) -> int:
 
     sync(n0)
     sync(n0 + args.iters)
+    sample = two_point_sampler(lambda: sync(n0),
+                               lambda: sync(n0 + args.iters), args.iters)
     vals = []
     for _ in range(args.repeats):
-        t0 = time.perf_counter(); sync(n0 + args.iters)
-        tb_ = time.perf_counter() - t0
-        t0 = time.perf_counter(); sync(n0)
-        ts_ = time.perf_counter() - t0
-        d = tb_ - ts_
-        if d > 0.05 * tb_:
-            vals.append(d / args.iters)
+        v = sample()
+        if v is not None:
+            vals.append(v)
     if vals:
         print(f"kcompact={kc} kernel={args.kernel} bp={model.bp} "
               f"mode={mode}: {float(np.median(vals)) * 1e3:.3f} ms/step "

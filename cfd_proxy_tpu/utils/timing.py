@@ -12,6 +12,41 @@ import time
 from dataclasses import dataclass, field
 
 
+def two_point_sampler(run_small, run_big, iters: int, *,
+                      noise_frac: float = 0.05):
+    """The repo's canonical timing primitive: two-point chained-loop
+    sampling (CLAUDE.md / BASELINE.md).
+
+    run_small / run_big are zero-arg callables that each execute a chained
+    on-device loop to COMPLETION (the caller forces completion, e.g. by
+    pulling one scalar — block_until_ready is unreliable over the axon
+    tunnel) of n0 and n0+iters iterations respectively.  The returned
+    sample() times both and yields (t_big - t_small)/iters — per-iteration
+    seconds with the per-dispatch overhead (~30 ms through the tunnel)
+    cancelled — or None when the difference is below noise_frac of t_big
+    (the dispatch-noise floor: the sample no longer measures the
+    iteration).  Callers must compile/warm both runners BEFORE sampling.
+
+    Shared by solver.time_schedule, tools/kbench, tools/mbench so the
+    method can only be fixed in one place.
+    """
+    import time as _time
+
+    def sample():
+        t0 = _time.perf_counter()
+        run_big()
+        t_big = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
+        run_small()
+        t_small = _time.perf_counter() - t0
+        diff = t_big - t_small
+        if diff < noise_frac * t_big:
+            return None
+        return diff / iters
+
+    return sample
+
+
 class Timer:
     """Simple wall-clock stopwatch (monotonic, like the reference's now())."""
 

@@ -231,7 +231,9 @@ def test_bf16_grad_dtype_bounded(mesh, gvar, gref):
     parts = partition_mesh(mesh, 4)
     model = GreenGaussPallas(parts, NVAR, bp=128, interpret=True,
                              grad_dtype="bfloat16")
-    assert model._grad_jnp == np.dtype("bfloat16") or True  # smoke attr
+    import jax.numpy as jnp
+
+    assert model._grad_jnp == jnp.bfloat16  # dtype plumbing took effect
     state = model.distribute_state(gvar)
     outs = {s: np.asarray(model.step(state, s), dtype=np.float32)
             for s in ("bulk", "early", "overlap")}
