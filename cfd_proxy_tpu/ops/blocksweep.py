@@ -452,7 +452,11 @@ def _block_compute_packed(bp: int, kslots: int, accumulate: bool, op: str,
     rows = out_rows(op)
 
     def compute(own_ref, src_ref, sw_ref, scale_ref, init_ref, out_ref):
-        own = own_ref[:]                                      # (NV, bp)
+        # dtype-agnostic own read: a no-op cast for f32 var_T; enables the
+        # bf16-state experiment (kbench var16 variant) where deltas are
+        # packed against the QUANTIZED own so the own·Σw rounding cancels
+        # over closed dual cells exactly like the f32 case
+        own = own_ref[:].astype(jnp.float32)                  # (NV, bp)
         if accumulate:
             # init may be bf16 (--grad-dtype bfloat16); accumulate in f32
             acc = init_ref[:].astype(jnp.float32)

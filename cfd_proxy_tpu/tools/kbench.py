@@ -42,6 +42,17 @@ the gap to the streaming memory floor (BASELINE.md):
              layout-neutral; compact's win is entirely the lane cut.
              compact/compact_alt at --bp-alt 8192: 0.944 f32 (noisy) /
              0.846 bf16 — 8192 regresses, bp 4096 stays optimal
+    var16    bf16 STATE reads on top of compact_bso (deltas packed against
+             the QUANTIZED own so own rounding cancels over closed cells).
+             VERDICT: compact_bso/var16 = 1.035, IQR [1.004, 1.085], n=12
+             — a small real win (half the ~7% byte prediction; the (8, bp)
+             bf16 block is half the native 16-sublane tile).  NOT
+             productionized: keeping srcs at f32 accuracy requires the f32
+             state table at pack time, which the static benchmark path has
+             but solver-mode rebuilds (bf16 var would put state rounding
+             into the deltas and the ~1e-3 bound becomes ~1e-2 on smooth
+             fields).  +3.5% did not justify that semantic fork; variant
+             kept for future stacking
 
 Timing uses the two-point chained-loop method (solver.time_schedule): the
 axon tunnel's block_until_ready does not wait and dispatch costs ~30 ms.
@@ -273,6 +284,21 @@ def main(argv=None) -> int:
     pa_cb["srcs"] = jax.jit(lambda s: compact_srcs(s, wks))(pa_bf["srcs"])
     pa_cb["slot_w"] = jax.jit(lambda w: w.astype(jnp.bfloat16))(csw)
 
+    # ---- var16: bf16 STATE reads on top of the full bf16 stack — var_T is
+    # the last f32 stream in the compact_bso kernel ((NV, bp)/block, ~15% of
+    # its bytes).  Deltas are packed against the QUANTIZED own (f32(bf16))
+    # so reconstruction errors still ride the delta and own·Σw cancels over
+    # closed cells; accuracy stays delta-class except at boundary cells.
+    # Caveat measured into the verdict: an (8, bp) bf16 block is half the
+    # native 16-sublane bf16 tile — the nv7-style relayout cost applies.
+    var_q = jax.jit(lambda v: v.astype(jnp.bfloat16))(var_T)
+    pa_cq = dict(pa_cb)
+    pa_cq["srcs"] = jax.jit(
+        lambda s, v, b: compact_srcs(
+            srcs_to_format(s, v.astype(jnp.bfloat16).astype(jnp.float32),
+                           b, bp, "bf16d"), wks)
+    )(pa["srcs"], var_T, pa["block_ids"])
+
     def compact_fn(src_format, use_wks, out_dtype=jnp.float32):
         def fn(v, pa):
             return sweep_blocks(v, pa, bp=bp, ep=plan.ep, kslots=K,
@@ -301,6 +327,7 @@ def main(argv=None) -> int:
         "compact": (compact_fn("f32", wks), var_T, pa_c),
         "compact_bsw": (compact_fn("bf16d", wks), var_T, pa_cb),
         "compact_bso": (compact_fn("bf16d", wks, jnp.bfloat16), var_T, pa_cb),
+        "var16": (compact_fn("bf16d", wks, jnp.bfloat16), var_q, pa_cq),
         "flat": (compact_fn("f32", wks_flat), var_T, pa_f),
     }
 
@@ -426,7 +453,9 @@ def main(argv=None) -> int:
                 # bf16 grad STORES add one output rounding (~4e-3 pointwise,
                 # partially cancelling in the abs-sum) on top of bsw's bf16
                 # source/weight error
-                "compact_bso": 1e-2}
+                "compact_bso": 1e-2,
+                # bf16 state adds boundary-cell own rounding on top of bso
+                "var16": 1e-2}
         for name in requested:
             if name not in tols:       # stream/wsum are not gg semantics
                 continue
@@ -444,6 +473,14 @@ def main(argv=None) -> int:
     if args.paired:
         a, b = requested
         sa, sb = sampler(a), sampler(b)
+        # untimed settling pairs: the first dispatches of a FRESHLY compiled
+        # executable run slower through the tunnel (remote executable
+        # caching) — without this burn a cold-vs-warm pair biases the early
+        # ratios hard (observed: a bimodal IQR [0.80, 1.13] whose first
+        # pairs penalized the just-compiled variant; solver.time_schedule
+        # burns --warmup runs for the same reason)
+        for _ in range(2):
+            sa(), sb()
         ratios, ta_all, tb_all = [], [], []
         for r in range(args.repeats):
             if r % 2 == 0:
