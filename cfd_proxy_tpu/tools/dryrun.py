@@ -52,9 +52,10 @@ def main(argv=None) -> int:
         "wall_s": round(wall, 1),
         "date": time.strftime("%Y-%m-%d"),
         "note": "XLA leg at full device count (all 3 schedules, 2-layer "
-                "ghosts); Pallas interpret leg at min(n,32) shards incl. "
-                "the fused RDMA overlap kernel (multi-phase semaphore "
-                "arrays at real 32-way topology) and a multi-slice overlap "
+                "ghosts); Pallas interpret leg at min(n, "
+                f"{os.environ.get('CFD_DRYRUN_PALLAS_CAP', '64')}) shards "
+                "incl. the fused RDMA overlap kernel (multi-phase semaphore "
+                "arrays at that real topology) and a multi-slice overlap "
                 "step (ICI phases in-kernel, DCN phases via ppermute)",
     }
     line = json.dumps(rec)
