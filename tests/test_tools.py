@@ -123,6 +123,18 @@ def test_kbench_compact_variants(capsys):
     assert "check compact:" in out and "OK" in out
 
 
+def test_kbench_i8_variant(capsys):
+    """The int8-delta experiment variant runs and stays inside its
+    block-relative accuracy bound (on-device fingerprint check)."""
+    from cfd_proxy_tpu.tools.kbench import main as kbench_main
+
+    rc = kbench_main(["--nx", "6", "--bp", "128", "--iters", "2",
+                      "--variants", "compact_i8", "--check"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "check compact_i8:" in out and "OK" in out
+
+
 def test_icibench_interpret_smoke(capsys):
     """icibench's RDMA kernel traces and runs under interpret mode (the
     real measurement needs hardware; this pins the code path)."""
