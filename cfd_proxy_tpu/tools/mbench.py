@@ -77,10 +77,15 @@ def parse_overrides(base: SolverConfig, spec: str) -> SolverConfig:
         k, v = item.split("=", 1)
         check(k in fields, "unknown SolverConfig field %r (have: %s)",
               k, ", ".join(sorted(fields)))
-        # kcompact is tri-state in the config (None=auto)
+        # kcompact is tri-state in the config (None=auto).  Case-insensitive,
+        # and unknown spellings are an error — "kcompact=True" once silently
+        # parsed as False (the fallback tested lowercase only), which made an
+        # A/B run share one model and measure nothing
         if k == "kcompact":
-            out[k] = {"auto": None, "on": True, "off": False,
-                      "None": None}.get(v, v in ("1", "true"))
+            vmap = {"auto": None, "none": None, "on": True, "true": True,
+                    "1": True, "off": False, "false": False, "0": False}
+            check(v.lower() in vmap, "kcompact=%r (use on/off/auto)", v)
+            out[k] = vmap[v.lower()]
         else:
             out[k] = _coerce(fields[k], v)
     return dataclasses.replace(base, **out)
