@@ -972,6 +972,17 @@ def pack_srcs(
       plan_arrays["slot_idx"])
 
 
+def own_cols(var_T: jax.Array, block_ids: jax.Array, bp: int) -> jax.Array:
+    """Each block's own state columns: (NV, N) × (nblocks,) → (nblocks, NV,
+    BP).  The single place that encodes the block→device-column convention
+    for delta packing (srcs_to_format and kbench's quantization experiments
+    must agree on it)."""
+    cols = block_ids.astype(jnp.int32)[:, None] * bp + jnp.arange(
+        bp, dtype=jnp.int32)[None, :]                       # (nblocks, BP)
+    return jnp.moveaxis(jnp.take(var_T, cols.reshape(-1), axis=1).reshape(
+        var_T.shape[0], *cols.shape), 0, 1)                 # (nblocks, NV, BP)
+
+
 def srcs_to_format(srcs: jax.Array, var_T: jax.Array, block_ids: jax.Array,
                    bp: int, src_format: str) -> jax.Array:
     """XLA reference for pack_srcs' output formats: convert f32 slot sources
@@ -981,8 +992,5 @@ def srcs_to_format(srcs: jax.Array, var_T: jax.Array, block_ids: jax.Array,
     if src_format == "f32":
         return srcs
     check(src_format == "bf16d", "unknown src_format %r", src_format)
-    cols = block_ids.astype(jnp.int32)[:, None] * bp + jnp.arange(
-        bp, dtype=jnp.int32)[None, :]                       # (nblocks, BP)
-    own = jnp.moveaxis(jnp.take(var_T, cols.reshape(-1), axis=1).reshape(
-        var_T.shape[0], *cols.shape), 0, 1)                 # (nblocks, NV, BP)
+    own = own_cols(var_T, block_ids, bp)
     return (srcs - own[:, None, :, :]).astype(jnp.bfloat16)

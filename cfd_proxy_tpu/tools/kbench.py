@@ -123,9 +123,9 @@ def main(argv=None) -> int:
 
     from cfd_proxy_tpu.mesh.generator import generate_mesh, make_state
     from cfd_proxy_tpu.ops.blocksweep import (
-        LANE, NV, build_block_plan, compact_slot_w, compact_srcs,
-        gather_srcs, prefix_widths, slot_src_cols, srcs_to_format,
-        sweep_blocks,
+        LANE, NV, build_block_plan, compact_len, compact_slot_w,
+        compact_srcs, gather_srcs, own_cols, prefix_widths, slot_src_cols,
+        srcs_to_format, sweep_blocks,
     )
 
     interpret = jax.default_backend() != "tpu"
@@ -322,30 +322,37 @@ def main(argv=None) -> int:
     # ---- compact_i8: int8 DELTA sources on top of the full bf16 stack —
     # the next precision rung on the dominant srcs stream (see module doc).
     # Quantization is per (block, var): scale = max|src−own|/127 over the
-    # block's compact lanes, stored lane-tiled (nb, NV, LANE) so the kernel
-    # reads it as a single (NV, 128) vreg row per block.
-    def _i8_quant(s_c, v, bids):
-        cols = bids.astype(jnp.int32)[:, None] * bp + jnp.arange(
-            bp, dtype=jnp.int32)[None, :]                   # (nb, BP)
-        own = jnp.moveaxis(
-            jnp.take(v, cols.reshape(-1), axis=1).reshape(NV, *cols.shape),
-            0, 1)                                           # (nb, NV, BP)
+    # block's ACTIVE compact lanes (padding lanes inside a 128-rounded
+    # prefix resolve to block point 0 and carry field-scale garbage deltas
+    # — masking by nonzero slot weight keeps the scale on the real
+    # neighbor-delta range), stored lane-tiled (nb, NV, LANE) so the kernel
+    # reads it as a single (NV, 128) vreg row per block.  Built only when
+    # the variant is requested: the tables cost a compile + an extra
+    # ~25%-of-srcs residency that unrelated pairings should not pay.
+    L_c = compact_len(wks)
+
+    def _i8_quant(s_c, sw_c, v, bids):
+        own = own_cols(v, bids, bp)                         # (nb, NV, BP)
         parts, off = [], 0
         for w in wks:
             if w:
                 parts.append(s_c[:, :, off:off + w] - own[:, :, :w])
                 off += w
         d = jnp.concatenate(parts, axis=-1)                 # (nb, NV, L)
-        sc = jnp.maximum(jnp.abs(d).max(axis=2), 1e-30) / 127.0   # (nb, NV)
+        active = (sw_c != 0).any(axis=1)[:, None, :]        # (nb, 1, L)
+        sc = jnp.maximum(jnp.abs(jnp.where(active, d, 0.0)).max(axis=2),
+                         1e-30) / 127.0                     # (nb, NV)
         q = jnp.round(d / sc[:, :, None]).astype(jnp.int8)
         return q, jnp.broadcast_to(sc[:, :, None],
                                    (*sc.shape, LANE)).astype(jnp.float32)
 
-    q_i8, sc_i8 = jax.jit(_i8_quant)(pa_c["srcs"], var_T, pa["block_ids"])
+    req = set((args.paired or args.variants).split(","))
     pa_i8 = dict(pa_cb)
-    pa_i8["srcs"] = q_i8
-    pa_i8["i8_scale"] = sc_i8
-    L_c = sum(wks)
+    if "compact_i8" in req:
+        q_i8, sc_i8 = jax.jit(_i8_quant)(pa_c["srcs"], csw, var_T,
+                                         pa["block_ids"])
+        pa_i8["srcs"] = q_i8
+        pa_i8["i8_scale"] = sc_i8
 
     def i8_kernel(bids, own_ref, src_ref, sw_ref, scale_ref, sc_ref,
                   out_ref):

@@ -128,7 +128,11 @@ def test_kbench_i8_variant(capsys):
     block-relative accuracy bound (on-device fingerprint check)."""
     from cfd_proxy_tpu.tools.kbench import main as kbench_main
 
-    rc = kbench_main(["--nx", "6", "--bp", "128", "--iters", "2",
+    # bp=256 with nx=6 (216 points) makes every prefix width 128 < bp, so
+    # the kernel's partial-width concatenate branch — the one that runs on
+    # hardware at bp=4096 — is actually exercised (at bp=128 every width
+    # rounds up to exactly bp and only the full-width path runs)
+    rc = kbench_main(["--nx", "6", "--bp", "256", "--iters", "2",
                       "--variants", "compact_i8", "--check"])
     assert rc == 0
     out = capsys.readouterr().out
