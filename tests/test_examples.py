@@ -23,6 +23,22 @@ def test_convergence_driver_converges():
     assert all(b < 1.05 * a for a, b in zip(res, res[1:])), res
 
 
+def test_multichip_overlap_example():
+    sys.path.insert(0, EXAMPLES)
+    try:
+        from multichip_overlap import main as mc_main
+    finally:
+        sys.path.remove(EXAMPLES)
+    topo, out = mc_main(nx=10, ny=9, nz=8, nparts=4, slice_size=2,
+                        verbose=False)
+    # slice-aware coloring: ICI phases strictly before DCN phases
+    kinds = [p.inter_slice for p in topo.phases]
+    assert kinds == sorted(kinds), kinds
+    assert any(kinds) and not all(kinds)  # both transport classes present
+    for k, v in out.items():
+        assert v < 1e-6, (k, v)
+
+
 def test_pseudo_time_stepping_runs(capsys):
     sys.path.insert(0, EXAMPLES)
     try:
