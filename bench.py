@@ -15,7 +15,8 @@ Env knobs: BENCH_NX (grid edge, default 96 on TPU / 16 on CPU),
 BENCH_ITERS (default 300), BENCH_SCHEDULE (default: all on TPU — every
 schedule incl. the fused-RDMA overlap is timed — else bulk),
 BENCH_BACKEND (default pallas), BENCH_KERNEL (default packed),
-BENCH_BP (default 4096; paired-scan optimum, BASELINE.md).
+BENCH_BP (default: the model's auto rule — 4096 at the headline size,
+1024 for small shards; paired scans, BASELINE.md).
 """
 
 import json
@@ -108,7 +109,11 @@ def main() -> int:
     schedule = os.environ.get("BENCH_SCHEDULE", "all" if on_tpu else "bulk")
     backend = os.environ.get("BENCH_BACKEND", "pallas")
     kernel = os.environ.get("BENCH_KERNEL", "packed")
-    bp = int(os.environ.get("BENCH_BP", "4096"))
+    # BENCH_BP unset = the model's AUTO rule (4096 at the headline size;
+    # 1024 on the small-mesh row's ~125k-point shard, where the paired
+    # small-shard scan measured 4096 a 1.27-1.43x loss — BASELINE.md)
+    bp_env = os.environ.get("BENCH_BP", "")
+    bp = int(bp_env) if bp_env else None
     log(f"platform={platform} devices={jax.devices()} nx={nx} iters={iters} "
         f"backend={backend} kernel={kernel} bp={bp}")
 

@@ -62,6 +62,12 @@ from cfd_proxy_tpu.parallel.topology import build_halo_topology
 from cfd_proxy_tpu.utils.errors import check
 
 AXIS = "shard"
+# AUTO block-size rule (bp=None): shards below BP_AUTO_SMALL points use
+# BP_SMALL instead of 4096.  Paired-measured crossover between 216k and
+# 373k points (BASELINE.md small-shard scan, 2026-08-18); 262144 = the
+# point count where bp=4096 yields 64 grid steps.
+BP_AUTO_SMALL = 262144
+BP_SMALL = 1024
 CLASSES = ("bulk", "boundary", "interior")
 # which source-table classes each schedule's step graph reads
 SCHEDULE_CLASSES = {
@@ -149,7 +155,7 @@ class GreenGaussPallas:
         parts: list[MeshPartition],
         nvar: int,
         *,
-        bp: int = 4096,
+        bp: int | None = None,
         devices: list | None = None,
         interpret: bool | None = None,
         op: str = "gg",
@@ -245,6 +251,18 @@ class GreenGaussPallas:
         check(op != "flux" or nvar >= 3,
               "flux model needs nvar >= 3 (velocity components), got %d", nvar)
         self.nvar = int(nvar)
+        # block size.  bp=None (default) = AUTO: 4096 for shards >= ~256k
+        # points, 1024 below — three paired kbench verdicts (BASELINE.md,
+        # 2026-08-18) put the crossover between 216k and 373k points
+        # (1024 wins 1.27x at 110k and 1.43x at 216k; 4096 wins 1.36x at
+        # 373k and is the paired-scan optimum at 884k).  The driver is
+        # block count: below ~64 grid steps the pipeline can't amortize,
+        # and a 4096-pt RCB chunk of a small shard also captures a 3.5x
+        # larger ext halo (ep 22528 vs 6272 at 110k pts).
+        self.bp_auto = bp is None
+        if self.bp_auto:
+            bp = 4096 if max(p.npoint for p in parts) >= BP_AUTO_SMALL else \
+                BP_SMALL
         # cap the block size at the (128-rounded) shard size: blocks larger
         # than the shard are pure padding — without this the bp=4096 default
         # makes small meshes (tests, examples) sweep 8x dead lanes
@@ -258,7 +276,7 @@ class GreenGaussPallas:
             cap = min(cap, 1024)
         self.bp_requested = int(bp)
         self.bp = bp = min(bp, cap)
-        if bp != self.bp_requested:
+        if bp != self.bp_requested and not self.bp_auto:
             # an explicitly requested bp silently measuring as a different
             # config misattributes A/B comparisons (advisor finding, round
             # 2) — say so once, at construction, on stderr

@@ -70,12 +70,14 @@ class SolverConfig:
                                     # bf16: ~5.6% paired win on top of the
                                     # reduced-precision mode; results carry
                                     # a ~4e-3 field-norm bound (BASELINE.md)
-    bp: int = 4096              # points per Pallas block — the thread-config
+    bp: int | None = None       # points per Pallas block — the thread-config
                                 # analogue (reference: pthread count sweeps).
-                                # Paired block-size scan (BASELINE.md): f32
-                                # flat 2048-4096, bf16 best at 4096, 8192
-                                # regresses 23%; small shards (<~50k pts)
-                                # may want less
+                                # None = AUTO: 4096 for shards >= ~256k
+                                # points, 1024 below (paired small-shard
+                                # scan, BASELINE.md); explicit values follow
+                                # the paired big-mesh scan (f32 flat
+                                # 2048-4096, bf16 best at 4096, 8192
+                                # regresses 23%)
     dtype: str = "float32"
     diag_frac: float = 0.2
     jitter: float = 0.05
@@ -425,8 +427,9 @@ def main(argv=None) -> int:
                     help="packed slot-source precision (bfloat16: delta-"
                          "packed, srcs stream halves, ~17%% faster, ~1e-3 "
                          "rel bound — BASELINE.md)")
-    ap.add_argument("--bp", type=int, default=4096,
-                    help="points per Pallas block (multiple of 128)")
+    ap.add_argument("--bp", type=int, default=None,
+                    help="points per Pallas block (multiple of 128; default "
+                         "auto — 4096 for shards >=256k points, 1024 below)")
     ap.add_argument("--halo-dtype", default="float32",
                     choices=["float32", "bfloat16"],
                     help="wire precision of exchanged gradient halo payloads "

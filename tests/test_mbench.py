@@ -18,7 +18,7 @@ def test_parse_overrides_types():
     assert got.force_rdma is True
     assert got.kcompact is False
     # base is untouched (replace, not mutation)
-    assert base.src_dtype == "float32" and base.bp == 4096
+    assert base.src_dtype == "float32" and base.bp is None  # None = auto bp
 
 
 def test_parse_overrides_rejects_unknown():

@@ -32,6 +32,23 @@ def gref(mesh, gvar):
     return scale_gradients(g, mesh.volume, mesh.npoint).reshape(mesh.npoint, -1)
 
 
+def test_auto_block_size(mesh, capsys):
+    """bp=None = AUTO: BP_SMALL below the BP_AUTO_SMALL shard-point
+    threshold (paired small-shard scan, BASELINE.md), with no reduced-bp
+    notice (nothing was requested); explicit bp keeps the notice path."""
+    from cfd_proxy_tpu.models.gradients_pallas import BP_AUTO_SMALL, BP_SMALL
+
+    assert BP_SMALL == 1024 and BP_AUTO_SMALL == 262144
+    parts = partition_mesh(mesh, 1, ghost_layers=1)
+    m_auto = GreenGaussPallas(parts, NVAR, interpret=True)
+    assert m_auto.bp_auto and m_auto.bp_requested == BP_SMALL
+    assert m_auto.bp <= BP_SMALL  # shard-size cap may reduce further
+    assert "reduced" not in capsys.readouterr().err
+    m_exp = GreenGaussPallas(parts, NVAR, bp=4096, interpret=True)
+    assert not m_exp.bp_auto and m_exp.bp_requested == 4096
+    assert "requested bp 4096 reduced" in capsys.readouterr().err
+
+
 @pytest.mark.parametrize("kernel", ["packed", "gather"])
 @pytest.mark.parametrize("npart,ghost_layers", [(1, 1), (4, 1), (4, 2), (8, 1)])
 def test_pallas_schedules_match_golden(mesh, gvar, gref, npart, ghost_layers,
