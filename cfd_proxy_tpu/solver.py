@@ -494,8 +494,14 @@ def main(argv=None) -> int:
               f"nvar={results['nvar']} dtype={results['dtype']}")
         print(format_stats_table(stats, ref="bulk"))
         for s, e in results["schedules"].items():
-            extra = (f"  overlap_eff={e['overlap_efficiency']:.1%}"
-                     if "overlap_efficiency" in e else "")
+            # overlap_efficiency is None (with a _note) when comm cost is
+            # unmeasurable (P=1) — print the reason, don't %-format None
+            if e.get("overlap_efficiency") is not None:
+                extra = f"  overlap_eff={e['overlap_efficiency']:.1%}"
+            elif "overlap_efficiency_note" in e:
+                extra = f"  overlap_eff=n/a ({e['overlap_efficiency_note']})"
+            else:
+                extra = ""
             print(f"{s:<10} {e['faces_per_sec'] / 1e6:9.2f} Mfaces/s{extra}")
         if "verification" in results:
             for k, v in results["verification"].items():

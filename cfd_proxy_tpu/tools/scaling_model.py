@@ -32,9 +32,45 @@ import numpy as np
 from cfd_proxy_tpu.mesh.generator import generate_mesh
 from cfd_proxy_tpu.mesh.partition import partition_mesh, send_point_set
 
+# MEASURED single-chip sweep rates vs footprint (ns/face; f32 compact packed
+# kernel, bulk model path, auto bp — BASELINE.md size table + small-shard
+# anchors, 2026-08-18).  The rate is NON-CONSTANT in shard size: a fixed
+# ~1-2 us dispatch/pipeline floor dominates tiny shards, the ~100k-400k-face
+# window rides burst HBM rates, and >=13M faces sits on the sustained-HBM
+# plateau.  A strong-scaled shard behaves like a small mesh, so a constant
+# 2.8M-face rate UNDERSTATES scaled-out sweep speed ~2.5x — this table is
+# what makes the model's strong-scaling predictions honest.
+RATE_TABLES = {
+    "f32": [
+        (42_179, 0.0748),      # nx=24 shard-size anchor, 12000-iter median
+        (101_177, 0.0527),     # nx=32 anchor, 8000-iter median
+        (390_934, 0.0559),     # nx=50 BENCH small row (21.8 us bulk)
+        (2_798_223, 0.1386),   # nx=96 headline (0.388 ms)
+        (13_000_000, 0.2410),  # size table 13.0M row (3.133 ms)
+        (35_800_000, 0.2397),  # 35.8M row (8.581 ms)
+        (44_000_000, 0.2422),  # 44.0M capacity row (10.655 ms)
+    ],
+    # reduced precision = --src-dtype/--meta-dtype bfloat16 (size table rows)
+    "reduced": [
+        (2_798_223, 0.0940),   # 0.263 ms
+        (13_000_000, 0.1850),  # 2.405 ms
+        (53_500_000, 0.1856),  # 9.93 ms capacity row
+    ],
+}
+
+
+def rate_ns_per_face(nface: int, table) -> float:
+    """Log-size linear interpolation over a measured (nface, ns/face) table,
+    clamped to the end rates outside the measured range."""
+    pts = sorted(table)
+    x = np.log([p[0] for p in pts])
+    y = [p[1] for p in pts]
+    return float(np.interp(np.log(max(nface, 1)), x, y))
+
 
 def model_partitioning(mesh, P, ns_per_face, ici_gbps, rows,
-                       overlap_fixed_us=0.0, halo_bytes=4):
+                       overlap_fixed_us=0.0, halo_bytes=4, rate_table=None,
+                       bulk_fixed_us=0.0):
     """Per-shard times from the REAL phase schedule: wire volume is the
     PADDED per-phase buffer (nphases × s_max × rows × 4B for every phase a
     device actually sends to a peer), matching parallel/tlayout.py — the
@@ -49,6 +85,10 @@ def model_partitioning(mesh, P, ns_per_face, ici_gbps, rows,
     t_bulk = t_over = 0.0
     eff_num = eff_den = 0.0
     for d, p in enumerate(parts):
+        # per-SHARD sweep rate: a strong-scaled shard runs at its own
+        # footprint's measured rate (RATE_TABLES), not the global mesh's
+        nspf = (rate_ns_per_face(p.nface, rate_table) if rate_table
+                else ns_per_face)
         sp = send_point_set(p)
         is_send = np.zeros(p.npoint, bool)
         is_send[sp] = True
@@ -57,11 +97,20 @@ def model_partitioning(mesh, P, ns_per_face, ici_gbps, rows,
         nfi = p.nface - nfb
         nsend_phases = int((lay.dsts[d] != d).sum())
         comm_bytes = nsend_phases * lay.s_max * rows * halo_bytes
-        ts_all = p.nface * ns_per_face * 1e-9
-        ts_b = nfb * ns_per_face * 1e-9
-        ts_i = nfi * ns_per_face * 1e-9
+        ts_all = p.nface * nspf * 1e-9
+        ts_b = nfb * nspf * 1e-9
+        ts_i = nfi * nspf * 1e-9
         tc = comm_bytes / (ici_gbps * 1e9)
-        t_bulk = max(t_bulk, ts_all + tc)
+        # bulk_fixed_us: the bulk schedule's separate pack -> exchange ->
+        # unpack dispatch chain is not free — icibench measured 50-170 us of
+        # fixed cost PER DMA kernel, and the fused kernel's equivalent
+        # machinery measured ~70 us.  Without this term the model predicts
+        # bulk beating overlap at high P purely because bulk's dispatch
+        # chain was modeled as zero-cost — an artifact.  Applied only when
+        # the shard actually exchanges (at P=1 the measured rate table
+        # already contains the no-comm bulk path).
+        fx = bulk_fixed_us * 1e-6 if nsend_phases else 0.0
+        t_bulk = max(t_bulk, ts_all + tc + fx)
         # overlap_fixed_us: the fused kernel's MEASURED per-step fixed cost
         # (readiness barrier + per-phase DMA machinery + recv scatter) —
         # ~70 us at P=1 on the round-3 kernel (BASELINE.md small-mesh row).
@@ -80,11 +129,16 @@ def main(argv=None) -> int:
     ap.add_argument("--ny", type=int, default=0)
     ap.add_argument("--nz", type=int, default=0)
     ap.add_argument("--parts", type=int, nargs="+", default=[1, 2, 4, 8, 16, 64])
-    ap.add_argument("--ns-per-face", type=float, default=0.12,
-                    help="measured single-chip sweep rate (BASELINE.md; "
-                         "round-3 compact f32 kernel = 0.12 ns/face at 2.8M "
-                         "faces, reduced precision = 0.088 — round 1's 0.54 "
-                         "was the stale default until round 3)")
+    ap.add_argument("--ns-per-face", type=float, default=None,
+                    help="CONSTANT sweep-rate override, ns/face.  Default "
+                         "(unset) uses the measured size-dependent rate "
+                         "table (RATE_TABLES, BASELINE.md): each shard is "
+                         "modeled at its own footprint's rate — small "
+                         "strong-scaled shards measure ~2.5x faster per "
+                         "face than the 2.8M headline")
+    ap.add_argument("--rate", choices=sorted(RATE_TABLES), default="f32",
+                    help="which measured rate table to use (f32 = headline "
+                         "kernel; reduced = bf16 srcs+weights mode)")
     ap.add_argument("--ici-gbps", type=float, default=45.0,
                     help="modeled per-link ICI bandwidth, GB/s (v5e link "
                          "spec; cross-check with tools/icibench.py, whose "
@@ -102,28 +156,49 @@ def main(argv=None) -> int:
                          "paired P=1 datapoints: ~70 us at 390k faces, "
                          "~25 us at 2.8M (mbench row); 70 is the "
                          "conservative default")
+    ap.add_argument("--bulk-fixed-us", type=float, default=70.0,
+                    help="bulk schedule's per-step comm fixed cost (the "
+                         "separate pack/exchange/unpack dispatch chain).  "
+                         "Anchored to measurement, not measured directly: "
+                         "icibench reads 50-170 us fixed per DMA kernel and "
+                         "the fused kernel's equivalent machinery measured "
+                         "~70 us; the real bulk chain is >= one such "
+                         "dispatch.  0 restores the old (bulk-flattering) "
+                         "behavior")
     ap.add_argument("--diag-frac", type=float, default=0.2)
     args = ap.parse_args(argv)
 
     mesh = generate_mesh(args.nx, args.ny or args.nx, args.nz or args.nx,
                          jitter=0.05, diag_frac=args.diag_frac, seed=0)
+    rate_table = None if args.ns_per_face is not None else RATE_TABLES[args.rate]
+    if rate_table is not None:
+        rate_s = (f"measured {args.rate} rate table (whole mesh "
+                  f"{rate_ns_per_face(mesh.nface, rate_table):.3f} ns/face; "
+                  f"per-shard at each shard's footprint)")
+    else:
+        rate_s = f"{args.ns_per_face} ns/face constant (override)"
     print(f"# MODEL (not measurement): {mesh.nface} global faces, "
-          f"{args.ns_per_face} ns/face sweep (measured), "
+          f"sweep = {rate_s}, "
           f"{args.ici_gbps} GB/s ICI (assumed; icibench upper-bounds it), "
           f"rows={args.rows}, overlap fixed {args.overlap_fixed_us} us "
-          f"(measured); faces/sec uses sum-of-shard faces (solver.run)")
-    print(f"{'P':>4} {'bulk Gf/s':>10} {'overlap Gf/s':>13} "
-          f"{'speedup':>8} {'ovl_eff':>8}")
+          f"(measured), bulk comm fixed {args.bulk_fixed_us} us "
+          f"(measurement-anchored); faces/sec uses sum-of-shard faces "
+          f"(solver.run)")
+    print(f"{'P':>4} {'shard ns/f':>10} {'bulk Gf/s':>10} "
+          f"{'overlap Gf/s':>13} {'speedup':>8} {'ovl_eff':>8}")
     base = None
     for P in args.parts:
         nface_total, t_bulk, t_over, eff = model_partitioning(
             mesh, P, args.ns_per_face, args.ici_gbps, args.rows,
             overlap_fixed_us=args.overlap_fixed_us,
-            halo_bytes=args.halo_bytes)
+            halo_bytes=args.halo_bytes, rate_table=rate_table,
+            bulk_fixed_us=args.bulk_fixed_us)
         if base is None:
             base = t_over
+        shard_rate = (rate_ns_per_face(mesh.nface // P, rate_table)
+                      if rate_table else args.ns_per_face)
         eff_s = f"{eff:>8.1%}" if eff is not None else f"{'-':>8}"
-        print(f"{P:>4} {nface_total / t_bulk / 1e9:>10.2f} "
+        print(f"{P:>4} {shard_rate:>10.3f} {nface_total / t_bulk / 1e9:>10.2f} "
               f"{nface_total / t_over / 1e9:>13.2f} "
               f"{base / t_over:>8.2f} {eff_s}")
     return 0

@@ -47,6 +47,28 @@ def test_scaling_model_runs(capsys):
     assert out.strip().splitlines()[-1].split()[0] == "4"
 
 
+def test_scaling_model_rate_table(capsys):
+    """Measured-rate interpolation: exact at anchors, clamped outside the
+    measured range, between neighbors inside; --ns-per-face still overrides
+    with a constant; the default is the f32 table (not a constant)."""
+    from cfd_proxy_tpu.tools.scaling_model import (RATE_TABLES, main as sm_main,
+                                                   rate_ns_per_face)
+
+    t = sorted(RATE_TABLES["f32"])
+    assert rate_ns_per_face(t[0][0], t) == t[0][1]
+    assert rate_ns_per_face(t[-1][0], t) == t[-1][1]
+    assert rate_ns_per_face(1, t) == t[0][1]          # clamp below
+    assert rate_ns_per_face(10**10, t) == t[-1][1]    # clamp above
+    lo, hi = sorted((0.0559, 0.1386))                 # 390k / 2.8M anchors
+    assert lo < rate_ns_per_face(1_000_000, t) < hi
+    assert sm_main(["--nx", "10", "--parts", "1", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "measured f32 rate table" in out
+    assert sm_main(["--nx", "10", "--parts", "1", "2",
+                    "--ns-per-face", "0.2"]) == 0
+    assert "constant (override)" in capsys.readouterr().out
+
+
 def test_fixture_generate_and_verify_roundtrip(tmp_path, monkeypatch):
     """fixture tool: generate writes files + manifest; verify regenerates
     byte-identically FROM THE MANIFEST'S STORED RECIPE (so source-recipe
