@@ -254,6 +254,60 @@ def main() -> int:
         out["small_mesh"] = row
         log(f"small mesh nx={nx_s}: " + " ".join(
             f"{s}={e['faces_per_sec']/1e9:.2f}G" for s, e in sch.items()))
+    if (on_tpu and backend == "pallas"
+            and os.environ.get("BENCH_FLUX_ROW", "1") != "0"):
+        # secondary-kernel row: the PSD upwind flux model (ops/flux.py,
+        # SURVEY §3 "secondary flux kernel") on the same mesh — committed
+        # so the second model family's hardware rate is in the BENCH
+        # artifact, not just BASELINE.md prose.  Bulk schedule, packed
+        # kernel (its paired verdicts: compact 1.243, reduced 1.078).
+        from dataclasses import replace as _replace
+
+        res_fx, _ = run(_replace(cfg, model="flux", schedule="bulk",
+                                 kernel="packed", force_rdma=False))
+        e_fx = res_fx["schedules"]["bulk"]
+        out["flux"] = {
+            "model": "flux", "faces_per_sec": e_fx["faces_per_sec"],
+            "median_ms": e_fx["median_s"] * 1e3,
+        }
+        log(f"flux bulk: {e_fx['faces_per_sec']/1e9:.2f} Gf/s "
+            f"({e_fx['median_s']*1e3:.3f} ms)")
+    if (on_tpu and os.environ.get("BENCH_MODEL_BLOCK", "1") != "0"):
+        # multichip prediction block — MODEL, NOT MEASUREMENT (this sandbox
+        # has one chip).  All sweep-side inputs are measured (the size-
+        # dependent rate table + the 70 us fixed costs); the 45 GB/s ICI is
+        # the v5e wire spec, bracketed from above by icibench's 371 GB/s
+        # measured DMA rate.  Committed so the BENCH artifact records what
+        # the calibrated model predicts alongside what the chip measured.
+        try:
+            from cfd_proxy_tpu.mesh.generator import generate_mesh
+            from cfd_proxy_tpu.tools.scaling_model import (
+                RATE_TABLES, model_partitioning)
+
+            gm = generate_mesh(nx, nx, nx, jitter=0.05, diag_frac=0.2,
+                               seed=0)
+            rows = {}
+            for P in (8, 64):
+                nft, t_bulk, t_over, eff = model_partitioning(
+                    gm, P, None, 45.0, 24, overlap_fixed_us=70.0,
+                    halo_bytes=4, rate_table=RATE_TABLES["f32"],
+                    bulk_fixed_us=70.0)
+                rows[f"P{P}"] = {
+                    "bulk_gfps": nft / t_bulk / 1e9,
+                    "overlap_gfps": nft / t_over / 1e9,
+                    "overlap_efficiency": eff,
+                }
+            out["multichip_model"] = {
+                "note": "MODEL not measurement (single-chip sandbox); "
+                        "rate table + 70us fixed costs measured, "
+                        "45 GB/s ICI assumed (icibench brackets from above)",
+                **rows,
+            }
+            log(f"multichip MODEL: " + " ".join(
+                f"{k}: bulk={v['bulk_gfps']:.1f}G overlap="
+                f"{v['overlap_gfps']:.1f}G" for k, v in rows.items()))
+        except Exception as e:  # model block must never sink the benchmark
+            log(f"multichip model block skipped: {e}")
     if "c1_fps" in cpu:
         # honest denominators: the C loop is the reference's language;
         # NumPy overstates vs_baseline by the np.add.at penalty (~24x here)
