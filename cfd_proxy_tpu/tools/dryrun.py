@@ -55,7 +55,9 @@ def main(argv=None) -> int:
                 "ghosts); Pallas interpret leg at min(n, "
                 f"{os.environ.get('CFD_DRYRUN_PALLAS_CAP', '64')}) shards "
                 "incl. the fused RDMA overlap kernel (multi-phase semaphore "
-                "arrays at that real topology) and a multi-slice overlap "
+                "arrays at that real topology), a distributed solver-mode "
+                "step (sweep + update + var exchange + table rebuild in one "
+                "jit; <=16 shards — interpret cost) and a multi-slice overlap "
                 "step (ICI phases in-kernel, DCN phases via ppermute)",
     }
     line = json.dumps(rec)
