@@ -335,21 +335,43 @@ def test_iterate_fn_runs(mesh, gvar):
     assert np.isfinite(np.asarray(out)).all()
 
 
-def test_solver_iterate_matches_manual_composition(mesh, gvar):
+@pytest.mark.parametrize("kernel,schedule", [
+    ("packed", "bulk"),
+    ("gather", "bulk"),    # the production solver-mode config (BASELINE.md)
+    ("packed", "overlap"),  # boundary+interior table classes rebuilt
+])
+def test_solver_iterate_matches_manual_composition(mesh, gvar, kernel,
+                                                   schedule):
     """The fused solver-mode runner (sweep → toy update → var exchange →
     table rebuild in ONE jit) equals the same chain composed through the
-    public step/refresh_state API, bitwise on var_T."""
+    public step/refresh_state API, bitwise on var_T — for both kernel
+    formulations (the per-step rebuild differs: packed re-packs slot
+    sources, gather only the ext columns) and both table-class sets."""
     import jax.numpy as jnp
 
     parts = partition_mesh(mesh, 4)
-    model = GreenGaussPallas(parts, NVAR, bp=128, interpret=True)
+    model = GreenGaussPallas(parts, NVAR, bp=128, interpret=True,
+                             kernel=kernel)
     state = model.distribute_state(gvar)
-    got = np.asarray(model.iterate_fn("bulk", 1, solver_mode=True)(
+    got = np.asarray(model.iterate_fn(schedule, 1, solver_mode=True)(
         *model.iter_args(state)))
-    g = model.step(state, "bulk")
+    g = model.step(state, schedule)
     v2 = state["var_T"] + 1e-30 * g[:, : g.shape[1] // 3, :][:, :8, :]
     want = np.asarray(model.refresh_state(v2)["var_T"])
     np.testing.assert_array_equal(got, want)
+
+
+def test_solver_mode_flux_runs(mesh, gvar):
+    """Solver mode is model-agnostic: the flux op's per-step dataflow
+    (sweep + update + var exchange + table rebuild) runs fused and stays
+    finite."""
+    parts = partition_mesh(mesh, 2)
+    model = GreenGaussPallas(parts, NVAR, bp=128, interpret=True, op="flux")
+    state = model.distribute_state(gvar)
+    out = model.iterate_fn("bulk", 2, solver_mode=True)(
+        *model.iter_args(state))
+    assert out.shape == state["var_T"].shape
+    assert np.isfinite(np.asarray(out)).all()
 
 
 def test_refresh_state_solver_mode(mesh, gvar):
