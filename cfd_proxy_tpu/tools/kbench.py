@@ -417,8 +417,74 @@ def main(argv=None) -> int:
     pa_f["slot_w"] = jnp.asarray(compact_slot_w(plan.slot_w, wks_flat))
     pa_f["srcs"] = jax.jit(lambda s: compact_srcs(s, wks_flat))(pa["srcs"])
 
+    # ---- flux variants: the secondary (PSD upwind) kernel is COMPUTE-bound
+    # (f32 compact flux 0.441 ms vs gg's 0.388 at 2.8M faces despite writing
+    # 2/3 FEWER output bytes; its reduced-precision win is only 1.078 vs
+    # gg's 1.49 — streams are not its bottleneck), so the lever is FLOPs.
+    # cflux = the production compact flux (sweep_blocks op="flux").
+    # cflux_fact = ALGEBRAICALLY IDENTICAL factored upwind update:
+    #   0.5*(udw*own + uow*gat) - 0.5*a*(gat - own)
+    #     == cu*own + cg*gat,  cu = 0.5*(udw + a), cg = 0.5*(uow - a)
+    # — the NV-row elementwise work drops ~7 -> 3 ops per slot lane (the
+    # udw/uow dots and |max| are per-lane rows and unchanged).  FP results
+    # differ by reassociation ULPs only.
+    def cflux_fn(v, pa):
+        return sweep_blocks(v, pa, bp=bp, ep=plan.ep, kslots=K, nblocks=nb,
+                            interpret=interpret, packed=True, op="flux",
+                            wks=wks)
+
+    frows = NV
+
+    def cflux_fact_kernel(bids, own_ref, src_ref, sw_ref, scale_ref,
+                          out_ref):
+        own = own_ref[:]
+        acc = jnp.zeros((frows, bp), jnp.float32)
+        off = 0
+        for w in wks:
+            if w == 0:
+                continue
+            own_k = own if w == bp else own[:, :w]
+            gat = src_ref[0, :, off:off + w]
+            wk = sw_ref[0, :, off:off + w]
+            udw = jnp.sum(own_k[:3] * wk, axis=0)
+            uow = jnp.sum(gat[:3] * wk, axis=0)
+            a = jnp.maximum(jnp.abs(udw), jnp.abs(uow))
+            cu = 0.5 * (udw + a)
+            cg = 0.5 * (uow - a)
+            contrib = cu[None, :] * own_k + cg[None, :] * gat
+            if w == bp:
+                acc = acc + contrib
+            else:
+                acc = jnp.concatenate([acc[:, :w] + contrib, acc[:, w:]],
+                                      axis=1)
+            off += w
+        out_ref[:] = acc * scale_ref[0, 0][None, :]
+
+    def cflux_fact_fn(v, pa):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((NV, bp), lambda i, bids: (0, bids[i]),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, NV, L_c), lambda i, bids: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3, L_c), lambda i, bids: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, bp), lambda i, bids: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((frows, bp), lambda i, bids: (0, bids[i]),
+                                   memory_space=pltpu.VMEM))
+        return pl.pallas_call(
+            cflux_fact_kernel, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((frows, npoint_dev), jnp.float32),
+            interpret=interpret,
+        )(pa["block_ids"], v, pa["srcs"], pa["slot_w"], pa["scale"])
+
     variants = {
         "prod": (prod_fn, var_T, pa),
+        "cflux": (cflux_fn, var_T, pa_c),
+        "cflux_fact": (cflux_fact_fn, var_T, pa_c),
         "stream": (call(stream_kernel), var_T, pa),
         "wsum": (call(wsum_kernel), var_T, pa),
         "nv7": (nv7_fn, var7, pa7),
@@ -545,6 +611,16 @@ def main(argv=None) -> int:
             compute_gradients_gg(var.astype(np.float64), m.faces, m.normals),
             m.volume, m.npoint)
         want = float(np.abs(ref).sum())
+        want_flux = None
+        if any(n.startswith("cflux") for n in requested):
+            from cfd_proxy_tpu.ops.flux import (
+                compute_psd_flux, flux_residual_scale,
+            )
+
+            ref_fx = flux_residual_scale(
+                compute_psd_flux(var.astype(np.float64), m.faces, m.normals),
+                m.volume, m.npoint)
+            want_flux = float(np.abs(ref_fx).sum())
         # abs-sum fingerprint tolerances: f32 accumulation over ~20M values
         # → 1e-3; bf16 variants carry ~3e-3 pointwise error that partially
         # cancels in the abs-sum → 1e-2
@@ -561,17 +637,21 @@ def main(argv=None) -> int:
                 # int8 deltas: ~max|δ|/254 absolute per slot, block-relative
                 # (~4e-3 of the block's delta range); partial cancellation
                 # in the abs-sum keeps it inside 3e-2 on the test meshes
-                "compact_i8": 3e-2}
+                "compact_i8": 3e-2,
+                # flux fingerprints check against the FLUX golden (below);
+                # f32 accumulation class
+                "cflux": 1e-3, "cflux_fact": 1e-3}
         for name in requested:
             if name not in tols:       # stream/wsum are not gg semantics
                 continue
             fn, v0, pargs = variants[name]
             g = jax.jit(fn)(v0, pargs)
             got = float(np.asarray(jnp.abs(g).sum()))  # one scalar off-device
-            rel = abs(got - want) / max(1.0, want)
+            w_ref = want_flux if name.startswith("cflux") else want
+            rel = abs(got - w_ref) / max(1.0, w_ref)
             ok = rel < tols[name]
             print(f"check {name}: |g|sum device {got:.6e} vs golden "
-                  f"{want:.6e} rel {rel:.2e} -> {'OK' if ok else 'FAIL'}",
+                  f"{w_ref:.6e} rel {rel:.2e} -> {'OK' if ok else 'FAIL'}",
                   flush=True)
             if not ok:
                 rc = 1
