@@ -70,17 +70,25 @@ def rate_ns_per_face(nface: int, table) -> float:
 
 def model_partitioning(mesh, P, ns_per_face, ici_gbps, rows,
                        overlap_fixed_us=0.0, halo_bytes=4, rate_table=None,
-                       bulk_fixed_us=0.0):
+                       bulk_fixed_us=0.0, slice_size=None, dcn_gbps=None):
     """Per-shard times from the REAL phase schedule: wire volume is the
     PADDED per-phase buffer (nphases × s_max × rows × 4B for every phase a
     device actually sends to a peer), matching parallel/tlayout.py — the
-    unpadded sendidx sum would be optimistic on imbalanced partitions."""
+    unpadded sendidx sum would be optimistic on imbalanced partitions.
+
+    slice_size (multi-slice deployments): phases are edge-colored
+    ICI-first/DCN-separated (parallel/topology.py); a shard's comm time is
+    then its ICI bytes at ici_gbps PLUS its DCN bytes at dcn_gbps (the
+    phases are sequential ppermutes).  Both schedules hide the whole chain
+    under interior compute the same way (in the overlap schedule the fused
+    kernel carries only ICI phases; DCN rides ppermute fired before it)."""
     from cfd_proxy_tpu.parallel.tlayout import build_tlayout
     from cfd_proxy_tpu.parallel.topology import build_halo_topology
 
     parts = partition_mesh(mesh, P)
     nface_total = sum(p.nface for p in parts)   # solver.run's denominator
-    topo = build_halo_topology(parts, max(p.npoint for p in parts) + 1)
+    topo = build_halo_topology(parts, max(p.npoint for p in parts) + 1,
+                               slice_size=slice_size)
     lay = build_tlayout(parts, topo)
     t_bulk = t_over = 0.0
     eff_num = eff_den = 0.0
@@ -95,12 +103,18 @@ def model_partitioning(mesh, P, ns_per_face, ici_gbps, rows,
         bsel = is_send[p.faces[:, 0]] | is_send[p.faces[:, 1]]
         nfb = int(bsel.sum())
         nfi = p.nface - nfb
-        nsend_phases = int((lay.dsts[d] != d).sum())
-        comm_bytes = nsend_phases * lay.s_max * rows * halo_bytes
+        sends = lay.dsts[d] != d
+        inter = np.asarray(lay.inter_slice, bool)
+        n_ici = int((sends & ~inter).sum())
+        n_dcn = int((sends & inter).sum())
+        phase_bytes = lay.s_max * rows * halo_bytes
         ts_all = p.nface * nspf * 1e-9
         ts_b = nfb * nspf * 1e-9
         ts_i = nfi * nspf * 1e-9
-        tc = comm_bytes / (ici_gbps * 1e9)
+        tc = n_ici * phase_bytes / (ici_gbps * 1e9)
+        if n_dcn:
+            tc += n_dcn * phase_bytes / ((dcn_gbps or ici_gbps) * 1e9)
+        nsend_phases = n_ici + n_dcn
         # bulk_fixed_us: the bulk schedule's separate pack -> exchange ->
         # unpack dispatch chain is not free — icibench measured 50-170 us of
         # fixed cost PER DMA kernel, and the fused kernel's equivalent
@@ -156,6 +170,15 @@ def main(argv=None) -> int:
                          "paired P=1 datapoints: ~70 us at 390k faces, "
                          "~25 us at 2.8M (mbench row); 70 is the "
                          "conservative default")
+    ap.add_argument("--slice-size", type=int, default=None,
+                    help="devices per TPU slice (multi-slice deployments): "
+                         "inter-slice phases are charged at --dcn-gbps "
+                         "instead of --ici-gbps, mirroring the ICI-first/"
+                         "DCN-separated phase coloring the framework "
+                         "actually runs (parallel/topology.py)")
+    ap.add_argument("--dcn-gbps", type=float, default=10.0,
+                    help="modeled per-device DCN bandwidth, GB/s (ASSUMED — "
+                         "deployment-dependent; only used with --slice-size)")
     ap.add_argument("--bulk-fixed-us", type=float, default=70.0,
                     help="bulk schedule's per-step comm fixed cost (the "
                          "separate pack/exchange/unpack dispatch chain).  "
@@ -177,8 +200,11 @@ def main(argv=None) -> int:
                   f"per-shard at each shard's footprint)")
     else:
         rate_s = f"{args.ns_per_face} ns/face constant (override)"
+    slice_s = (f"slice_size={args.slice_size} (DCN phases at "
+               f"{args.dcn_gbps} GB/s, assumed), "
+               if args.slice_size else "")
     print(f"# MODEL (not measurement): {mesh.nface} global faces, "
-          f"sweep = {rate_s}, "
+          f"sweep = {rate_s}, {slice_s}"
           f"{args.ici_gbps} GB/s ICI (assumed; icibench upper-bounds it), "
           f"rows={args.rows}, overlap fixed {args.overlap_fixed_us} us "
           f"(measured), bulk comm fixed {args.bulk_fixed_us} us "
@@ -192,7 +218,8 @@ def main(argv=None) -> int:
             mesh, P, args.ns_per_face, args.ici_gbps, args.rows,
             overlap_fixed_us=args.overlap_fixed_us,
             halo_bytes=args.halo_bytes, rate_table=rate_table,
-            bulk_fixed_us=args.bulk_fixed_us)
+            bulk_fixed_us=args.bulk_fixed_us, slice_size=args.slice_size,
+            dcn_gbps=args.dcn_gbps)
         if base is None:
             base = t_over
         shard_rate = (rate_ns_per_face(mesh.nface // P, rate_table)

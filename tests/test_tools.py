@@ -69,6 +69,24 @@ def test_scaling_model_rate_table(capsys):
     assert "constant (override)" in capsys.readouterr().out
 
 
+def test_scaling_model_multislice(capsys):
+    """--slice-size charges inter-slice (DCN) phases at --dcn-gbps: with a
+    slow DCN the modeled rates must drop strictly below the single-slice
+    prediction at the same P, and the header must flag the assumption."""
+    from cfd_proxy_tpu.tools.scaling_model import main as sm_main
+
+    def bulk_gfps(argv):
+        assert sm_main(argv) == 0
+        out = capsys.readouterr().out
+        return float(out.strip().splitlines()[-1].split()[2]), out
+
+    one, _ = bulk_gfps(["--nx", "10", "--parts", "4"])
+    multi, out = bulk_gfps(["--nx", "10", "--parts", "4",
+                            "--slice-size", "2", "--dcn-gbps", "1"])
+    assert "DCN phases at 1.0 GB/s" in out
+    assert multi < one
+
+
 def test_fixture_generate_and_verify_roundtrip(tmp_path, monkeypatch):
     """fixture tool: generate writes files + manifest; verify regenerates
     byte-identically FROM THE MANIFEST'S STORED RECIPE (so source-recipe
@@ -121,6 +139,20 @@ def test_kbench_paired_mode(capsys):
                       "--paired", "prod,bf16sw", "--repeats", "2"])
     assert rc == 0
     assert "median ratio" in capsys.readouterr().out
+
+
+def test_kbench_flux_variants(capsys):
+    """The flux variants (production compact flux + the factored-upwind
+    experiment) both pass the FLUX-golden fingerprint check — pins that the
+    factored form stays algebraically faithful (BASELINE.md: measured
+    perf-NEUTRAL, kept as the record)."""
+    from cfd_proxy_tpu.tools.kbench import main as kbench_main
+
+    rc = kbench_main(["--nx", "6", "--bp", "128", "--iters", "2",
+                      "--variants", "cflux,cflux_fact", "--check"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.count("OK") >= 2
 
 
 def test_kbench_bp_alt_variants(capsys):
