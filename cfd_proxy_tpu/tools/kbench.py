@@ -53,6 +53,46 @@ the gap to the streaming memory floor (BASELINE.md):
              into the deltas and the ~1e-3 bound becomes ~1e-2 on smooth
              fields).  +3.5% did not justify that semantic fork; variant
              kept for future stacking
+    cflux / cflux_fact
+             the secondary (PSD upwind) kernel on the compact layout, and
+             its factored-upwind rewrite (cu·own + cg·gat; ~40% fewer
+             elementwise VPU ops, algebraically identical).  VERDICT
+             (2026-08-18): 0.976, IQR [0.87, 1.07] — NEUTRAL; flux's +8%
+             over gg is stream bill + per-slot dots/|max|, production
+             formula unchanged.  --check fingerprints both vs the FLUX golden
+    cstream_bso
+             stream twin of compact_bso (same bf16 srcs/weights/out + f32
+             var bytes, minimal math) — the reduced-precision kernel's own
+             memory floor; compact_bso/cstream_bso attributes remaining
+             compute headroom.  VERDICT (2026-08-18): median ratio 1.5572,
+             IQR [1.4280, 1.8476], n=16 (0.234 vs 0.152 ms) — unlike the
+             f32 kernel (~3% off its floor), the full-bf16 kernel runs
+             ~1.56x its own stream floor: it is COMPUTE/relayout-bound
+    bso_fold / bso_wsum
+             VPU-op-cut experiments on that headroom, both MEASURED DEAD
+             ENDS (2026-08-18): bso_fold (pre-halved weights + hoisted
+             own+own, ~12% fewer ops, composition-exact) ratio 1.0041,
+             IQR [0.9105, 1.1414] — NEUTRAL; bso_wsum (own term applied
+             once per point via a Σw' stream, ~25% fewer ops) ratio
+             0.8537, IQR [0.8342, 0.8973] — 15% SLOWER (the extra (3, bp)
+             stream + a second acc pass cost more than the op cut saves).
+    bso_acc3 third rung of the same ladder: three (NV, bp) accumulators
+             (one per spatial d, single-sublane broadcasts) instead of the
+             per-slot (3, NV, w)→(21, w) broadcast-reshape, concatenated
+             once at the end — composition-exact.  VERDICT (2026-08-18):
+             0.9634, IQR [0.7760, 1.3706], n=12 — NEUTRAL (noisy session).
+             ATTRIBUTION across the three rungs: the stream twin performs
+             the SAME per-slot upcasts and prefix-concats as production —
+             the 1.56x gap is exactly the 21-row outer-product accumulate
+             (~120M FMA + ~100M aux lane-ops at 2.8M faces, i.e.
+             0.06-0.13 ms at 1-2k lane-ops/cycle, bracketing the measured
+             0.082 ms gap).  Irreducible VPU work (per-lane outer products
+             cannot ride the MXU: each point has its own weights, so there
+             is no shared operand).  The f32 kernel sits at its MEMORY
+             floor; the bf16 kernel sits at its VPU COMPUTE floor — the
+             reduced-precision headline is speed-of-light for this
+             formulation, and further gains need fewer slot lanes (mesh
+             ordering), not kernel work
     compact_i8
              int8 DELTA sources on top of compact_bso — the precision rung
              below bf16 on the srcs stream (the largest remaining stream of
@@ -400,6 +440,182 @@ def main(argv=None) -> int:
         )(pa["block_ids"], v, pa["srcs"], pa["slot_w"], pa["scale"],
           pa["i8_scale"])
 
+    # ---- cstream_bso: the full-bf16-stack kernel's own STREAM TWIN — the
+    # same bytes as compact_bso (bf16 compact srcs + bf16 compact weights +
+    # f32 var + bf16 out rows) with minimal math (running sums, one final
+    # mul) — the achievable memory floor for THAT layout, mirroring the f32
+    # `stream` twin.  compact_bso/cstream_bso attributes whether the
+    # reduced-precision kernel has compute headroom left or is memory-bound.
+    def cstream_bso_kernel(bids, own_ref, src_ref, sw_ref, scale_ref,
+                           out_ref):
+        s1 = own_ref[:].astype(jnp.float32)               # (NV, bp)
+        s2 = jnp.zeros((3, bp), jnp.float32)
+        off = 0
+        for w in wks:
+            if w == 0:
+                continue
+            src_k = src_ref[0, :, off:off + w].astype(jnp.float32)
+            wk = sw_ref[0, :, off:off + w].astype(jnp.float32)
+            if w == bp:
+                s1 = s1 + src_k
+                s2 = s2 + wk
+            else:
+                s1 = jnp.concatenate([s1[:, :w] + src_k, s1[:, w:]], axis=1)
+                s2 = jnp.concatenate([s2[:, :w] + wk, s2[:, w:]], axis=1)
+            off += w
+        out_ref[:] = ((s2[:, None, :] * s1[None, :, :]).reshape(rows, bp)
+                      * scale_ref[0, 0][None, :]).astype(out_ref.dtype)
+
+    def cstream_bso_fn(v, pa):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((NV, bp), lambda i, bids: (0, bids[i]),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, NV, L_c), lambda i, bids: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3, L_c), lambda i, bids: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, bp), lambda i, bids: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((rows, bp), lambda i, bids: (0, bids[i]),
+                                   memory_space=pltpu.VMEM))
+        return pl.pallas_call(
+            cstream_bso_kernel, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((rows, npoint_dev), jnp.bfloat16),
+            interpret=interpret,
+        )(pa["block_ids"], v, pa["srcs"], pa["slot_w"], pa["scale"])
+
+    # ---- bso_fold / bso_wsum: VPU-op-cut experiments on the bf16 stack,
+    # motivated by the cstream_bso twin verdict (compact_bso runs ~1.46x its
+    # own memory floor — the bf16 kernel is COMPUTE-bound, unlike f32).
+    # bso_fold: weights stored PRE-HALVED (w' = 0.5w) and the own term
+    #   hoisted as o2 = own+own once per block; per slot t = o2+δ,
+    #   contrib = w'⊗t — same real value (0.5w⊗(2·own+δ) == w⊗(own+0.5δ)),
+    #   SAME per-slot accumulation order (composition-exact), ~12% fewer ops.
+    # bso_wsum: additionally hoists the own term entirely: acc = Σ w'⊗δ per
+    #   slot + (Σw')⊗o2 once at the end (Σw' static per point, an extra
+    #   (1,3,bp) stream) — ~25% fewer ops but the own term is applied ONCE,
+    #   so cross-schedule composition is no longer order-identical
+    #   (measurement rung, like wsum).
+    pa_fold = dict(pa_cb)
+    pa_fold["slot_w"] = jax.jit(lambda w: (0.5 * w.astype(jnp.float32))
+                                .astype(jnp.bfloat16))(csw)
+    ws_half = jnp.asarray(0.5 * plan.slot_w.sum(axis=1))      # (nb, 3, bp)
+    pa_wsum = dict(pa_fold)
+    pa_wsum["wsum"] = ws_half.astype(jnp.float32)
+
+    def _bso_kernel(hoist_own):
+        def kern(bids, own_ref, src_ref, sw_ref, scale_ref, *rest):
+            if hoist_own:
+                ws_ref, out_ref = rest
+            else:
+                (out_ref,) = rest
+            own = own_ref[:].astype(jnp.float32)
+            o2 = own + own
+            acc = jnp.zeros((rows, bp), jnp.float32)
+            off = 0
+            for w in wks:
+                if w == 0:
+                    continue
+                d = src_ref[0, :, off:off + w].astype(jnp.float32)
+                wk = sw_ref[0, :, off:off + w].astype(jnp.float32)
+                t = d if hoist_own else (o2 if w == bp else o2[:, :w]) + d
+                contrib = (wk[:, None, :] * t[None, :, :]).reshape(rows, w)
+                if w == bp:
+                    acc = acc + contrib
+                else:
+                    acc = jnp.concatenate([acc[:, :w] + contrib, acc[:, w:]],
+                                          axis=1)
+                off += w
+            if hoist_own:
+                ws = ws_ref[0]                                 # (3, bp)
+                acc = acc + (ws[:, None, :] * o2[None, :, :]).reshape(rows, bp)
+            out_ref[:] = (acc * scale_ref[0, 0][None, :]).astype(out_ref.dtype)
+        return kern
+
+    def _bso_fn(hoist_own):
+        specs = [
+            pl.BlockSpec((NV, bp), lambda i, bids: (0, bids[i]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NV, L_c), lambda i, bids: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, L_c), lambda i, bids: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bp), lambda i, bids: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        if hoist_own:
+            specs.append(pl.BlockSpec((1, 3, bp), lambda i, bids: (i, 0, 0),
+                                      memory_space=pltpu.VMEM))
+
+        def fn(v, pa):
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=(nb,), in_specs=specs,
+                out_specs=pl.BlockSpec((rows, bp),
+                                       lambda i, bids: (0, bids[i]),
+                                       memory_space=pltpu.VMEM))
+            extra = (pa["wsum"],) if hoist_own else ()
+            return pl.pallas_call(
+                _bso_kernel(hoist_own), grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((rows, npoint_dev),
+                                               jnp.bfloat16),
+                interpret=interpret,
+            )(pa["block_ids"], v, pa["srcs"], pa["slot_w"], pa["scale"],
+              *extra)
+        return fn
+
+    # ---- bso_acc3: relayout-structure experiment on the bf16 compute tax.
+    # Production keeps ONE (3*NV, w) accumulator and forms each slot's
+    # contribution as a (3, NV, w) broadcast-multiply reshaped to (21, w) —
+    # a sublane relayout per slot chunk.  bso_acc3 keeps THREE (NV, w)
+    # accumulators (one per spatial d) and per slot does 3 single-sublane
+    # broadcasts wk[d] * avg — no 3-D intermediate, no per-slot reshape; the
+    # (21, bp) output is concatenated ONCE at the end.  Per-point per-slot
+    # accumulation order identical to production (composition-exact).
+    def bso_acc3_kernel(bids, own_ref, src_ref, sw_ref, scale_ref, out_ref):
+        own = own_ref[:].astype(jnp.float32)                   # (NV, bp)
+        accs = [jnp.zeros((NV, bp), jnp.float32) for _ in range(3)]
+        off = 0
+        for w in wks:
+            if w == 0:
+                continue
+            own_k = own if w == bp else own[:, :w]
+            avg = own_k + 0.5 * src_ref[0, :, off:off + w].astype(jnp.float32)
+            wk = sw_ref[0, :, off:off + w].astype(jnp.float32)  # (3, w)
+            for d in range(3):
+                contrib = wk[d:d + 1, :] * avg                  # (NV, w)
+                if w == bp:
+                    accs[d] = accs[d] + contrib
+                else:
+                    accs[d] = jnp.concatenate(
+                        [accs[d][:, :w] + contrib, accs[d][:, w:]], axis=1)
+            off += w
+        acc = jnp.concatenate(accs, axis=0)                     # (rows, bp)
+        out_ref[:] = (acc * scale_ref[0, 0][None, :]).astype(out_ref.dtype)
+
+    def bso_acc3_fn(v, pa):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((NV, bp), lambda i, bids: (0, bids[i]),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, NV, L_c), lambda i, bids: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3, L_c), lambda i, bids: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, bp), lambda i, bids: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((rows, bp), lambda i, bids: (0, bids[i]),
+                                   memory_space=pltpu.VMEM))
+        return pl.pallas_call(
+            bso_acc3_kernel, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((rows, npoint_dev), jnp.bfloat16),
+            interpret=interpret,
+        )(pa["block_ids"], v, pa["srcs"], pa["slot_w"], pa["scale"])
+
     def compact_fn(src_format, use_wks, out_dtype=jnp.float32):
         def fn(v, pa):
             return sweep_blocks(v, pa, bp=bp, ep=plan.ep, kslots=K,
@@ -494,6 +710,10 @@ def main(argv=None) -> int:
         "compact": (compact_fn("f32", wks), var_T, pa_c),
         "compact_bsw": (compact_fn("bf16d", wks), var_T, pa_cb),
         "compact_bso": (compact_fn("bf16d", wks, jnp.bfloat16), var_T, pa_cb),
+        "cstream_bso": (cstream_bso_fn, var_T, pa_cb),
+        "bso_fold": (_bso_fn(False), var_T, pa_fold),
+        "bso_wsum": (_bso_fn(True), var_T, pa_wsum),
+        "bso_acc3": (bso_acc3_fn, var_T, pa_cb),
         "var16": (compact_fn("bf16d", wks, jnp.bfloat16), var_q, pa_cq),
         "compact_i8": (i8_fn, var_T, pa_i8),
         "flat": (compact_fn("f32", wks_flat), var_T, pa_f),
@@ -640,7 +860,9 @@ def main(argv=None) -> int:
                 "compact_i8": 3e-2,
                 # flux fingerprints check against the FLUX golden (below);
                 # f32 accumulation class
-                "cflux": 1e-3, "cflux_fact": 1e-3}
+                "cflux": 1e-3, "cflux_fact": 1e-3,
+                # bf16-stack op-cut experiments (same bf16 error class)
+                "bso_fold": 1e-2, "bso_wsum": 1e-2, "bso_acc3": 1e-2}
         for name in requested:
             if name not in tols:       # stream/wsum are not gg semantics
                 continue

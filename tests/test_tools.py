@@ -177,6 +177,26 @@ def test_kbench_compact_variants(capsys):
     assert "check compact:" in out and "OK" in out
 
 
+def test_kbench_bso_experiment_variants(capsys):
+    """The bf16-stack attribution variants stay faithful: the stream twin
+    (cstream_bso) runs, and the op-cut/relayout experiments (bso_fold,
+    bso_wsum, bso_acc3) pass the golden fingerprint at the bf16 bound —
+    pins that the recorded dead-end measurements (BASELINE.md) compared
+    algebraically faithful kernels.  bp=256 with nx=6 exercises the
+    partial-width concatenate branch (see test_kbench_i8_variant)."""
+    from cfd_proxy_tpu.tools.kbench import main as kbench_main
+
+    rc = kbench_main(["--nx", "6", "--bp", "256", "--iters", "2",
+                      "--variants",
+                      "compact_bso,cstream_bso,bso_fold,bso_wsum,bso_acc3",
+                      "--check"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    for name in ("compact_bso", "bso_fold", "bso_wsum", "bso_acc3"):
+        assert f"check {name}:" in out
+    assert out.count("OK") >= 4
+
+
 def test_kbench_i8_variant(capsys):
     """The int8-delta experiment variant runs and stays inside its
     block-relative accuracy bound (on-device fingerprint check)."""
