@@ -262,6 +262,27 @@ def relabel_owned(part: MeshPartition, new_of_old: np.ndarray) -> MeshPartition:
     return out
 
 
+def degree_sort_order(deg: np.ndarray, block: int,
+                      base_order: np.ndarray | None = None) -> np.ndarray:
+    """In-block degree sort shared by the model relabel and kbench's plans.
+
+    Stable-sorts the positions of `base_order` (default: identity) by
+    DESCENDING degree within each `block`-sized chunk — block membership is
+    untouched, only in-block lane order moves, so per-block ext lists are
+    unchanged while the compact prefix widths (ops/blocksweep.py::
+    prefix_widths) become tight.  Returns new_of_old ids.  Kept in ONE place
+    because the compact layout's correctness-tightness story depends on the
+    sort key; kbench must measure the exact layout the model builds."""
+    n = deg.shape[0]
+    order = np.arange(n) if base_order is None else base_order
+    pos_blk = np.arange(n) // block        # device-block index by POSITION
+    key = np.lexsort((np.arange(n), -deg[order], pos_blk))
+    order = order[key]
+    new_of_old = np.empty(n, dtype=np.int64)
+    new_of_old[order] = np.arange(n)
+    return new_of_old
+
+
 def rcb_owned_order(part: MeshPartition, *, block: int = 256,
                     degree_sort: bool = False) -> np.ndarray:
     """RCB-based locality permutation for the owned points (new id of old).
@@ -282,9 +303,7 @@ def rcb_owned_order(part: MeshPartition, *, block: int = 256,
     order = np.argsort(blk, kind="stable")     # old ids in new order
     if degree_sort:
         deg = np.bincount(part.faces.ravel(), minlength=part.npoint)[:nowned]
-        pos_blk = np.arange(nowned) // block   # device-block index by POSITION
-        key = np.lexsort((np.arange(nowned), -deg[order], pos_blk))
-        order = order[key]
+        return degree_sort_order(deg, block, base_order=order)
     new_of_old = np.empty(nowned, dtype=np.int64)
     new_of_old[order] = np.arange(nowned)
     return new_of_old

@@ -205,7 +205,12 @@ def prefix_widths(slot_w: np.ndarray, bp: int) -> tuple[int, ...]:
     rounded up to the 128-lane vreg.  CORRECT for any point order — a slot's
     active lanes always sit inside its prefix because per-point slot counts
     are contiguous from k=0 (a point of degree d uses slots 0..d-1, so slot
-    k's active lane set shrinks monotonically with k).  TIGHT when points are
+    k's active lane set shrinks monotonically with k).  The WIDTHS need not
+    be monotone, though: a slot serving only zero-normal (degenerate) faces
+    stores all-zero weights and can measure narrower than a later slot, so
+    consumers must treat wks per-slot (the packed layout does by
+    construction; the gather kernel's tile skip enumerates live slots
+    explicitly).  TIGHT when points are
     degree-sorted within each block (mesh/partition.py::rcb_owned_order
     degree_sort=True), which concentrates high-degree points in the leading
     lanes.  On the benchmark mesh (2.8M faces, bp=4096) this cuts the
@@ -396,9 +401,14 @@ def _block_compute(bp: int, ep: int, kslots: int, accumulate: bool, op: str,
                     jnp.float32)
             else:
                 acc = jnp.zeros((rows, LANE), jnp.float32)
-            kt = (kslots if wks is None
-                  else sum(1 for w in wks if w > t * LANE))
-            for k in range(kt):
+            # enumerate the exact live slots rather than assuming wks is
+            # monotone non-increasing: widths are per-slot maxima of the
+            # last NONZERO weight, and a slot serving only degenerate
+            # (zero-normal) faces can be narrower than a later slot —
+            # a first-kt prefix loop would then skip a live slot
+            live = (range(kslots) if wks is None
+                    else [k for k, wk in enumerate(wks) if wk > t * LANE])
+            for k in live:
                 idx = sidx_ref[0, k, t * LANE : (t + 1) * LANE]   # (128,)
                 gat = _masked_gather(tbl, idx, npass)
                 wk = sw_ref[0, k, :, t * LANE : (t + 1) * LANE].astype(

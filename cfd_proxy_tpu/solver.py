@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
 from dataclasses import dataclass
 
@@ -201,7 +202,11 @@ def time_schedule(
     for _ in range(max(0, warmup)):
         # untimed settling runs beyond the compile itself — the first
         # post-compile dispatches through the tunnel are routinely slower
-        # (remote executable caching); --warmup sets how many to burn
+        # (remote executable caching); --warmup sets how many to burn.
+        # Burn BOTH runners: the two-point diff is big − small, so a
+        # still-cold small runner biases every sample low (kbench/mbench
+        # settle both sides for the same reason)
+        _sync_scalar(small(*args))
         _sync_scalar(big(*args))
     stats = IterationStats(schedule)
     sample = two_point_sampler(lambda: _sync_scalar(small(*args)),
@@ -262,6 +267,7 @@ def run(cfg: SolverConfig) -> tuple[dict, list[IterationStats]]:
         "grad_dtype": cfg.grad_dtype,
         "solver_mode": cfg.solver_mode,
         "backend": cfg.backend,
+        "kernel": cfg.kernel,
         # effective block size (the model caps cfg.bp at the shard size)
         "bp": getattr(model, "bp", None),
         "iters": cfg.iters,
@@ -316,16 +322,23 @@ def run(cfg: SolverConfig) -> tuple[dict, list[IterationStats]]:
                     )
                 else:
                     # the secondary metric (BASELINE.json) must be REPORTED,
-                    # not silently omitted: at P=1 the exchange is pack/
-                    # unpack + self-send only, so bulk-minus-nocomm sits
-                    # below the timing noise floor and the ratio is
-                    # undefined — null with the reason attached
+                    # not silently omitted — null with the ACTUAL reason
+                    # attached: the P=1 self-send explanation must not be
+                    # stamped on a multi-chip run whose comm merely sits at
+                    # the noise floor of this topology
+                    if cfg.parts <= 1:
+                        why = ("at P=1 the exchange is pack/unpack + "
+                               "self-send only — real overlap efficiency "
+                               "needs multi-chip")
+                    else:
+                        why = (f"at P={cfg.parts} on this topology the "
+                               f"measured comm cost is below the 5% noise "
+                               f"gate — overlap has nothing measurable to "
+                               f"hide here")
                     results["schedules"][s]["overlap_efficiency"] = None
                     results["schedules"][s]["overlap_efficiency_note"] = (
                         "comm cost unmeasurable (bulk - nocomm below the "
-                        "two-point noise floor; at P=1 the exchange is "
-                        "pack/unpack + self-send only — real overlap "
-                        "efficiency needs multi-chip)")
+                        "two-point noise floor; " + why + ")")
     finally:
         if profiler_cm is not None:
             profiler_cm.__exit__(None, None, None)
@@ -405,14 +418,19 @@ def main(argv=None) -> int:
     ap.add_argument("--nvar", type=int, default=7)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3,
-                    help="untimed settling dispatches of the long runner "
+                    help="untimed settling dispatches of BOTH runners "
                          "after compilation, before the timed repeats "
                          "(solver.time_schedule)")
     ap.add_argument("--schedule", default="all", choices=["all", *SCHEDULES])
     ap.add_argument("--backend", default="pallas", choices=["pallas", "xla"])
     ap.add_argument("--model", default="gg", choices=["gg", "flux"])
-    ap.add_argument("--kernel", default="packed", choices=["packed", "gather"],
-                    help="Pallas sweep formulation (blocksweep.py module doc)")
+    ap.add_argument("--kernel", default=None, choices=["packed", "gather"],
+                    help="Pallas sweep formulation (blocksweep.py module "
+                         "doc).  Default: packed for the static iteration; "
+                         "gather (with bp 512 unless --bp given) under "
+                         "--solver-mode, where the kernel choice FLIPS — "
+                         "the gather kernel needs no per-step source "
+                         "re-pack (paired verdict 1.509x, BASELINE.md)")
     ap.add_argument("--force-rdma", action="store_true",
                     help="fused RDMA overlap kernel even with no real "
                          "transfers (P=1 self-send hardware smoke)")
@@ -467,6 +485,21 @@ def main(argv=None) -> int:
                          "device_count=8 for the virtual multi-device mesh "
                          "on a TPU host)")
     args = ap.parse_args(argv)
+
+    if args.kernel is None:
+        # solver-mode default encodes the DECIDED kernel flip (mbench paired
+        # packed/gather = 1.509 at 2.8M faces, BASELINE.md): the per-step
+        # dataflow is rebuild-bound and the gather kernel skips the source
+        # re-pack entirely; its own bp scan optimum is 512
+        if args.solver_mode:
+            args.kernel = "gather"
+            if args.bp is None:
+                args.bp = 512
+            print("cfd_proxy_tpu: --solver-mode defaults to --kernel gather "
+                  "--bp 512 (paired verdict, BASELINE.md); pass --kernel/"
+                  "--bp to override", file=sys.stderr)
+        else:
+            args.kernel = "packed"
 
     cfg = SolverConfig(
         nx=args.nx, ny=args.ny, nz=args.nz, mesh_prefix=args.mesh_prefix,

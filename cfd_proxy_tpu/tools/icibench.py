@@ -145,6 +145,10 @@ def main(argv=None) -> int:
             lanes = max(128, int(round(mb * 1e6 / (args.rows * 4) / 128)) * 128)
             payload = nph * args.rows * lanes * 4
             s = build(nph, lanes)
+            for _ in range(2):
+                s()      # settling burns: the first post-compile dispatches
+                         # run slow (remote executable caching) and with only
+                         # 5 samples the median sits next to a biased one
             vals = [s() for _ in range(5)]
             vals = [v for v in vals if np.isfinite(v)]
             if not vals:

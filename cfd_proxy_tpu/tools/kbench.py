@@ -184,11 +184,10 @@ def main(argv=None) -> int:
     # tight.  Pure in-block lane permutation — identical shapes/streams for
     # every non-compact variant, so it is applied unconditionally and paired
     # comparisons stay apples-to-apples on one plan.
+    from cfd_proxy_tpu.mesh.partition import degree_sort_order
+
     deg = np.bincount(m.faces.ravel(), minlength=m.npoint)
-    pos_blk = np.arange(m.npoint) // bp
-    order = np.lexsort((np.arange(m.npoint), -deg, pos_blk))
-    new_of_old = np.empty(m.npoint, np.int64)
-    new_of_old[order] = np.arange(m.npoint)
+    new_of_old = degree_sort_order(deg, bp)
     faces = new_of_old[m.faces].astype(np.int32)
     volume = np.empty_like(m.volume)
     volume[new_of_old] = m.volume
@@ -723,10 +722,7 @@ def main(argv=None) -> int:
         bp2 = args.bp_alt
         # own degree-sorted relabel at bp2 granularity (block boundaries
         # move with bp, so the in-block sort must be redone)
-        pos2 = np.arange(m.npoint) // bp2
-        order2 = np.lexsort((np.arange(m.npoint), -deg, pos2))
-        noo2 = np.empty(m.npoint, np.int64)
-        noo2[order2] = np.arange(m.npoint)
+        noo2 = degree_sort_order(deg, bp2)
         faces2 = noo2[m.faces].astype(np.int32)
         vol2 = np.empty_like(m.volume)
         vol2[noo2] = m.volume

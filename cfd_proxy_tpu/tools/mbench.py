@@ -45,6 +45,13 @@ _MODEL_FIELDS = (
     "meta_dtype", "src_dtype", "kcompact", "halo_dtype", "grad_dtype",
 )
 
+# fields the per-side DRIVE honors (sampler schedule/mode, state seed).
+# Everything else — nx/ny/nz/parts/ghost_layers/jitter/stretch/diag_frac,
+# iters, dtype, ... — is taken from the SHARED base mesh/CLI and would be
+# silently ignored as a per-side override, producing a false ~1.00 "this
+# lever does nothing" verdict; reject those up front.
+_DRIVE_FIELDS = ("schedule", "solver_mode", "seed", "backend", "verify")
+
 
 def _coerce(field: dataclasses.Field, raw: str):
     # SolverConfig annotations are strings ("int | None", "bool", ...) —
@@ -77,6 +84,11 @@ def parse_overrides(base: SolverConfig, spec: str) -> SolverConfig:
         k, v = item.split("=", 1)
         check(k in fields, "unknown SolverConfig field %r (have: %s)",
               k, ", ".join(sorted(fields)))
+        check(k in _MODEL_FIELDS + _DRIVE_FIELDS,
+              "field %r cannot differ between A and B: the mesh and "
+              "partitions are shared by both sides (set --nx/--ny/--nz/"
+              "--parts/--iters at top level); per-side overrides may be: %s",
+              k, ", ".join(sorted(_MODEL_FIELDS + _DRIVE_FIELDS)))
         # kcompact is tri-state in the config (None=auto).  Case-insensitive,
         # and unknown spellings are an error — "kcompact=True" once silently
         # parsed as False (the fallback tested lowercase only), which made an

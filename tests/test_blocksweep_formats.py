@@ -237,6 +237,52 @@ def test_dst_lt_drops_ghost_destination_slots(setup):
                                       full.slot_w[b][..., sel])
 
 
+def test_gather_compact_skip_nonmonotone_widths():
+    """prefix_widths need NOT be monotone non-increasing: a slot serving
+    only zero-normal (degenerate) faces stores all-zero weights and can
+    measure narrower than a later slot.  The gather kernel's compact tile
+    skip must enumerate live slots per-slot — regression for a first-kt
+    prefix loop that silently dropped a live later slot (wrong gradients,
+    no error) on such meshes."""
+    bp = 256
+    npoint_dev = bp
+    # point 200: three faces, the SECOND with an exactly zero normal ->
+    # its slot-1 weight is all-zero; point 5 keeps slot 1 alive only in
+    # the first 128-lane tile.  Widths come out (256, 128, 256).
+    faces = np.array([[200, 1], [200, 2], [200, 3], [5, 6], [5, 7]],
+                     np.int32)
+    normals = np.array([[1.0, 0, 0], [0, 0, 0], [0, 1.0, 0],
+                        [1.0, 1.0, 0], [0, 1.0, 1.0]], np.float32)
+    inv = np.ones(npoint_dev)
+    plan = build_block_plan(faces, normals, npoint_dev, inv, bp=bp)
+    wks = prefix_widths(plan.slot_w, bp)
+    assert list(wks) == [256, 128, 256]        # non-monotone by construction
+    rng = np.random.default_rng(7)
+    var = rng.standard_normal((npoint_dev, 7)).astype(np.float32)
+    var_T = np.zeros((NV, npoint_dev), np.float32)
+    var_T[:7] = var.T
+    var_T = jnp.asarray(var_T)
+    pa = {
+        "block_ids": jnp.asarray(plan.block_ids),
+        "slot_idx": jnp.asarray(plan.slot_idx),
+        "slot_w": jnp.asarray(plan.slot_w),
+        "scale": jnp.asarray(plan.scale),
+    }
+    pa["exts"] = gather_exts(var_T, jnp.asarray(plan.ext_idx))
+    common = dict(bp=bp, ep=plan.ep, kslots=plan.kslots,
+                  nblocks=plan.nblocks, interpret=True)
+    want = np.asarray(sweep_blocks(var_T, pa, **common))
+    got = np.asarray(sweep_blocks(var_T, pa, wks=wks, **common))
+    # the skip only removes provably inert (tile, slot) work
+    np.testing.assert_array_equal(got, want)
+    # absolute anchor: point 200's third face must be present
+    from cfd_proxy_tpu.ops.golden import compute_gradients_gg
+    g = compute_gradients_gg(var, faces, normals)          # (npts, nvar, 3)
+    for d in range(3):      # out rows are d-major with NV(=8)-padded stride
+        np.testing.assert_allclose(got[d * NV : d * NV + 7], g[:, :, d].T,
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_sweep_bf16d_matches_manual(setup):
     """sweep_blocks(src_format='bf16d') == the same accumulation computed in
     NumPy from the bf16 deltas (per-slot order, f32 accumulate)."""

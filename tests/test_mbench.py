@@ -28,6 +28,15 @@ def test_parse_overrides_rejects_unknown():
         parse_overrides(SolverConfig(), "oops")
 
 
+def test_parse_overrides_rejects_shared_mesh_fields():
+    """Mesh-shaping fields (nx/parts/...) are built from the SHARED base —
+    a per-side override would be silently ignored and record a false ~1.00
+    'no difference' verdict; they must be rejected up front."""
+    for spec in ("nx=64", "parts=2", "ghost_layers=2", "iters=5"):
+        with pytest.raises(CheckError, match="cannot differ"):
+            parse_overrides(SolverConfig(), spec)
+
+
 def test_model_fields_exist():
     names = {f.name for f in dataclasses.fields(SolverConfig)}
     assert set(_MODEL_FIELDS) <= names

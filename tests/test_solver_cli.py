@@ -61,6 +61,20 @@ def test_cli_solver_mode(capsys):
     d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert d["solver_mode"] is True
     assert "bulk" in d["schedules"]
+    # --solver-mode defaults to the DECIDED optimum (gather/bp512,
+    # BASELINE.md) when --kernel/--bp are not given
+    assert d["kernel"] == "gather"
+
+
+def test_cli_solver_mode_kernel_override(capsys):
+    """--kernel packed under --solver-mode is honored (the gather default
+    applies only when --kernel is omitted)."""
+    rc = main(["--nx", "8", "--ny", "8", "--nz", "7", "--parts", "1",
+               "--iters", "2", "--schedule", "bulk", "--solver-mode",
+               "--kernel", "packed", "--no-verify", "--json"])
+    assert rc == 0
+    d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert d["kernel"] == "packed"
 
 
 def test_cli_solver_mode_requires_pallas():
