@@ -60,6 +60,22 @@ the gap to the streaming memory floor (BASELINE.md):
              (2026-08-18): 0.976, IQR [0.87, 1.07] — NEUTRAL; flux's +8%
              over gg is stream bill + per-slot dots/|max|, production
              formula unchanged.  --check fingerprints both vs the FLUX golden
+    cstream_flux
+             the flux kernel's own stream twin (identical bytes, minimal
+             math).  VERDICT (2026-08-18): cflux/cstream_flux = 1.1596,
+             IQR [1.1151, 1.2267], n=11 (0.425 vs 0.368 ms) — flux carries
+             a modest ~16% compute tax over its floor (the per-slot
+             udw/uow dots and |max|), between f32 gg (~3%) and the bf16
+             stack (1.56x); quantifies what cflux_fact's NEUTRAL implied
+    cstream_c
+             same twin with f32 compact tables — the f32 compact kernel's
+             own memory floor (the round-2 "~3% off floor" twin was
+             measured on the UNCOMPACTED layout).  VERDICT (2026-08-18):
+             compact/cstream_c = 1.0064, IQR [0.9753, 1.0800], n=11
+             (0.353 vs 0.362 ms medians) — DEAD EVEN: the f32 compact
+             kernel sits exactly at its memory floor.  The floor triple:
+             f32 gg 1.006 (memory-bound), flux 1.16 (modest dot/|max|
+             tax), bf16 gg 1.56 (VPU compute-bound)
     cstream_bso
              stream twin of compact_bso (same bf16 srcs/weights/out + f32
              var bytes, minimal math) — the reduced-precision kernel's own
@@ -465,26 +481,36 @@ def main(argv=None) -> int:
         out_ref[:] = ((s2[:, None, :] * s1[None, :, :]).reshape(rows, bp)
                       * scale_ref[0, 0][None, :]).astype(out_ref.dtype)
 
-    def cstream_bso_fn(v, pa):
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1, grid=(nb,),
-            in_specs=[
-                pl.BlockSpec((NV, bp), lambda i, bids: (0, bids[i]),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, NV, L_c), lambda i, bids: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 3, L_c), lambda i, bids: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, bp), lambda i, bids: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((rows, bp), lambda i, bids: (0, bids[i]),
-                                   memory_space=pltpu.VMEM))
-        return pl.pallas_call(
-            cstream_bso_kernel, grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((rows, npoint_dev), jnp.bfloat16),
-            interpret=interpret,
-        )(pa["block_ids"], v, pa["srcs"], pa["slot_w"], pa["scale"])
+    def _cstream_fn(out_dtype):
+        # the twin body is dtype-agnostic (the upcasts are no-ops on f32
+        # inputs), so the SAME kernel serves as the f32 compact kernel's
+        # floor (cstream_c: pa_c + f32 out) and the bf16 stack's floor
+        # (cstream_bso: pa_cb + bf16 out)
+        def fn(v, pa):
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=(nb,),
+                in_specs=[
+                    pl.BlockSpec((NV, bp), lambda i, bids: (0, bids[i]),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, NV, L_c), lambda i, bids: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 3, L_c), lambda i, bids: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 1, bp), lambda i, bids: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((rows, bp),
+                                       lambda i, bids: (0, bids[i]),
+                                       memory_space=pltpu.VMEM))
+            return pl.pallas_call(
+                cstream_bso_kernel, grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((rows, npoint_dev), out_dtype),
+                interpret=interpret,
+            )(pa["block_ids"], v, pa["srcs"], pa["slot_w"], pa["scale"])
+        return fn
+
+    cstream_bso_fn = _cstream_fn(jnp.bfloat16)
+    cstream_c_fn = _cstream_fn(jnp.float32)
 
     # ---- bso_fold / bso_wsum: VPU-op-cut experiments on the bf16 stack,
     # motivated by the cstream_bso twin verdict (compact_bso runs ~1.46x its
@@ -696,10 +722,58 @@ def main(argv=None) -> int:
             interpret=interpret,
         )(pa["block_ids"], v, pa["srcs"], pa["slot_w"], pa["scale"])
 
+    # ---- cstream_flux: the flux kernel's own STREAM TWIN — identical bytes
+    # to cflux (f32 compact srcs + slot_w + var in, (NV, bp) f32 out),
+    # minimal math.  cflux/cstream_flux quantifies the flux kernel's
+    # compute tax the way cstream_bso did for the bf16 gg kernel (until
+    # now "flux is compute-bound" rested on indirect evidence: fewer
+    # output bytes yet slower than gg, small reduced-precision win).
+    def cstream_flux_kernel(bids, own_ref, src_ref, sw_ref, scale_ref,
+                            out_ref):
+        s1 = own_ref[:]                                    # (NV, bp)
+        s2 = jnp.zeros((3, bp), jnp.float32)
+        off = 0
+        for w in wks:
+            if w == 0:
+                continue
+            src_k = src_ref[0, :, off:off + w]
+            wk = sw_ref[0, :, off:off + w]
+            if w == bp:
+                s1 = s1 + src_k
+                s2 = s2 + wk
+            else:
+                s1 = jnp.concatenate([s1[:, :w] + src_k, s1[:, w:]], axis=1)
+                s2 = jnp.concatenate([s2[:, :w] + wk, s2[:, w:]], axis=1)
+            off += w
+        out_ref[:] = (s1 * (s2[0:1] + s2[1:2] + s2[2:3])
+                      * scale_ref[0, 0][None, :])
+
+    def cstream_flux_fn(v, pa):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((NV, bp), lambda i, bids: (0, bids[i]),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, NV, L_c), lambda i, bids: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3, L_c), lambda i, bids: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, bp), lambda i, bids: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((frows, bp), lambda i, bids: (0, bids[i]),
+                                   memory_space=pltpu.VMEM))
+        return pl.pallas_call(
+            cstream_flux_kernel, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((frows, npoint_dev), jnp.float32),
+            interpret=interpret,
+        )(pa["block_ids"], v, pa["srcs"], pa["slot_w"], pa["scale"])
+
     variants = {
         "prod": (prod_fn, var_T, pa),
         "cflux": (cflux_fn, var_T, pa_c),
         "cflux_fact": (cflux_fact_fn, var_T, pa_c),
+        "cstream_flux": (cstream_flux_fn, var_T, pa_c),
         "stream": (call(stream_kernel), var_T, pa),
         "wsum": (call(wsum_kernel), var_T, pa),
         "nv7": (nv7_fn, var7, pa7),
@@ -710,6 +784,7 @@ def main(argv=None) -> int:
         "compact_bsw": (compact_fn("bf16d", wks), var_T, pa_cb),
         "compact_bso": (compact_fn("bf16d", wks, jnp.bfloat16), var_T, pa_cb),
         "cstream_bso": (cstream_bso_fn, var_T, pa_cb),
+        "cstream_c": (cstream_c_fn, var_T, pa_c),
         "bso_fold": (_bso_fn(False), var_T, pa_fold),
         "bso_wsum": (_bso_fn(True), var_T, pa_wsum),
         "bso_acc3": (bso_acc3_fn, var_T, pa_cb),

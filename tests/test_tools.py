@@ -149,10 +149,11 @@ def test_kbench_flux_variants(capsys):
     from cfd_proxy_tpu.tools.kbench import main as kbench_main
 
     rc = kbench_main(["--nx", "6", "--bp", "128", "--iters", "2",
-                      "--variants", "cflux,cflux_fact", "--check"])
+                      "--variants", "cflux,cflux_fact,cstream_flux,cstream_c",
+                      "--check"])
     assert rc == 0
     out = capsys.readouterr().out
-    assert out.count("OK") >= 2
+    assert out.count("OK") >= 2      # the stream twins are not checked
 
 
 def test_kbench_bp_alt_variants(capsys):
