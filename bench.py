@@ -272,6 +272,32 @@ def main() -> int:
         }
         log(f"flux bulk: {e_fx['faces_per_sec']/1e9:.2f} Gf/s "
             f"({e_fx['median_s']*1e3:.3f} ms)")
+    if (on_tpu and backend == "pallas"
+            and os.environ.get("BENCH_SOLVER_MODE_ROW", "1") != "0"):
+        # solver-mode row: the FULL per-time-step dataflow (sweep + state
+        # update + var halo exchange + source-table rebuild) a real solver
+        # would pay, honestly separate from the headline (the proxy's timed
+        # loop exchanges gradients over static state — SURVEY §4.2).  Uses
+        # the decided solver-mode optimum (gather kernel, bp 512; mbench
+        # paired 1.509 over packed — BASELINE.md) so the artifact records
+        # the per-step cost, not just BASELINE prose.
+        from dataclasses import replace as _replace
+
+        res_sm, _ = run(_replace(cfg, schedule="bulk", kernel="gather",
+                                 bp=512, force_rdma=False, solver_mode=True,
+                                 iters=max(50, iters // 6)))
+        e_sm = res_sm["schedules"]["bulk"]
+        out["solver_mode"] = {
+            "kernel": "gather", "bp": 512,
+            "ms_per_step": e_sm["median_s"] * 1e3,
+            "effective_faces_per_sec": e_sm["faces_per_sec"],
+            "note": "full per-time-step dataflow (sweep + update + var "
+                    "exchange + table rebuild); rebuild-bound "
+                    "(tools/solver_attrib.py), separate from the headline "
+                    "by design (the proxy's timed loop never re-packs)",
+        }
+        log(f"solver-mode (gather/bp512): {e_sm['median_s']*1e3:.2f} ms/step "
+            f"({e_sm['faces_per_sec']/1e9:.3f} Gf/s effective)")
     if (on_tpu and os.environ.get("BENCH_MODEL_BLOCK", "1") != "0"):
         # multichip prediction block — MODEL, NOT MEASUREMENT (this sandbox
         # has one chip).  All sweep-side inputs are measured (the size-
