@@ -317,7 +317,6 @@ class GreenGaussPallas:
         #   time for the halo payload — so scale distributes identically.
         ones = np.ones(lay.ndev, dtype=np.float64)
         raw: dict[str, list[BlockPlan]] = {c: [] for c in CLASSES}
-        face_sets = []
         pack_scale = np.zeros_like(lay.send_mask)
         for d, p in enumerate(self.parts):
             fd, nd = device_faces(p, lay)
@@ -328,7 +327,6 @@ class GreenGaussPallas:
             bsel = is_send[fd[:, 0]] | is_send[fd[:, 1]]
             order = np.concatenate([np.flatnonzero(bsel), np.flatnonzero(~bsel)])
             fd_ord, nd_ord = fd[order], nd[order]
-            face_sets.append((fd, nd, fd_ord, nd_ord, inv, bsel))
             pack_scale[d] = lay.send_mask[d] * inv[lay.send_idx[d]]
             # dst_lt = nowned drops ghost-DESTINATION slots: their sums are
             # dead by construction (zero-scaled for bulk/interior, and for
@@ -374,7 +372,7 @@ class GreenGaussPallas:
             # (~1 GB/class at the 44M-face capacity ceiling)
             self._plans_dev[c] = self._stack_plans(padded, self._wks[c],
                                                    slot_w_stacked=sw)
-        del raw, face_sets
+        del raw
 
         def put(arr):
             # host numpy → sharded device arrays in ONE placement; an eager
@@ -479,7 +477,10 @@ class GreenGaussPallas:
         for p in self.parts:
             vts.append(device_state(
                 gvar[p.global_ids].astype(np.float32), p, lay, NV))
-        var_T = jax.device_put(jnp.stack(vts), self._sharding)
+        # np.stack, NOT jnp.stack: an eager jnp.stack would commit the full
+        # P-stacked state to device 0 before resharding (double transfer +
+        # a P× transient there — the same hop put() avoids for the tables)
+        var_T = jax.device_put(np.stack(vts), self._sharding)
         classes = self._classes_for(schedules)
         return {"var_T": var_T, "_classes": classes,
                 **self._build_tables(var_T, classes)}
@@ -740,7 +741,25 @@ class GreenGaussPallas:
 
             self._step_cache[key] = run_n
         runner = self._step_cache[key]
-        return lambda *args: runner(n, *args)
+        needs = SCHEDULE_CLASSES.get(schedule, ())
+
+        def checked(*args):
+            # mirror step()'s friendly guard: a table class skipped at
+            # distribute_state(schedules=...) arrives here as the
+            # (P, 1, 1, 1, 1) stub and would otherwise die deep in the
+            # Pallas trace with a BlockSpec shape error.  iter_args feeds
+            # (var_T, e_bulk, e_b, e_i, ...) — check the three table slots.
+            # (solver-mode runners rebuild their tables from var in-loop,
+            # so only this static-iteration path needs the guard)
+            tbls = {"bulk": args[1], "boundary": args[2], "interior": args[3]}
+            for c in needs:
+                check(tuple(tbls[c].shape[1:]) != (1, 1, 1, 1),
+                      "state does not carry table class %r but schedule %r "
+                      "needs it — distribute_state(schedules=...) must "
+                      "include it", c, schedule)
+            return runner(n, *args)
+
+        return checked
 
     def _solver_iterate_fn(self, schedule: str, n: int):
         key = ("solver_iterate", schedule)

@@ -432,6 +432,11 @@ def test_distribute_state_schedule_subset(mesh, gvar, gref):
     assert np.abs(got - gref).max() / denom < 1e-5
     with pytest.raises(CheckError, match="table classes"):
         model.step(state, "overlap")
+    # the ITERATE path (what every timing harness drives) must raise the
+    # same friendly error, not a Pallas BlockSpec shape error deep in the
+    # trace (review find: the guard existed only on step())
+    with pytest.raises(CheckError, match="table class"):
+        model.iterate_fn("early", 2)(*model.iter_args(state))
     # and the subset state must be byte-identical to the full build's table
     full = model.distribute_state(gvar)
     np.testing.assert_array_equal(np.asarray(state["tbl_bulk"]),
