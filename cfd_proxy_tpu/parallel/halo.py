@@ -81,10 +81,18 @@ def exchange_start(
 def exchange_finish(
     x: jax.Array, bufs: list[jax.Array], halo: DeviceHalo
 ) -> jax.Array:
-    """Scatter received buffers into ghost rows (padding lanes dropped)."""
-    for k, buf in enumerate(bufs):
-        x = x.at[halo.recv_idx[k]].set(buf, mode="drop")
-    return x
+    """Scatter received buffers into ghost rows (padding lanes dropped).
+
+    ONE fused scatter for all phases: per-phase recv sets are disjoint by
+    construction (each ghost is filled by exactly one comm entry —
+    MeshPartition.validate pins recvidx uniqueness) and padding lanes are
+    OOB indices dropped by mode='drop', so concatenating is equivalent to
+    the per-phase chain — and pays XLA's scatter cost (the slowest
+    primitive on this chip, ~3 GB/s) once instead of nphases times."""
+    if not bufs:
+        return x
+    idx = halo.recv_idx[: len(bufs)].reshape(-1)
+    return x.at[idx].set(jnp.concatenate(bufs, axis=0), mode="drop")
 
 
 def exchange(

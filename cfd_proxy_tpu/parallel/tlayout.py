@@ -55,11 +55,12 @@ class TLayout:
                            # for interpret-mode collectives and harmless on
                            # hardware: a local copy of masked zeros)
     srcs: np.ndarray       # (P, nphases) i32 — RDMA source device per phase
-    inter_slice: np.ndarray = None  # (nphases,) bool — phase crosses slice
-                           # boundaries (DCN); padded self-send phases are
-                           # False.  The fused in-kernel RDMA path must only
-                           # carry intra-slice (ICI) phases — DCN transfers
-                           # go through XLA collectives (ppermute)
+    # (nphases,) bool — phase crosses slice boundaries (DCN); padded
+    # self-send phases are False.  The fused in-kernel RDMA path must only
+    # carry intra-slice (ICI) phases — DCN transfers go through XLA
+    # collectives (ppermute).  REQUIRED (no default): a None here would
+    # surface as a TypeError deep in GreenGaussPallas.__init__
+    inter_slice: np.ndarray
 
     @property
     def ghost_start(self) -> int:
@@ -75,6 +76,13 @@ def build_tlayout(
     kernel's multi-phase semaphore arrays on a single real chip, where the
     natural phase count is 1."""
     P = len(parts)
+    # positional identity, mirrored from build_halo_topology: locmap,
+    # send_idx rows and ph.recv_idx are all indexed by position, so a list
+    # reordered between the two calls would pair shard d's ghost columns
+    # with another partition's faces silently
+    for i, pt in enumerate(parts):
+        check(pt.part_id == i,
+              "parts out of order: index %d holds part_id %d", i, pt.part_id)
     owned_pad = round_up(max(p.nowned for p in parts), bp)
     s_max = round_up(max(topo.max_phase_size(), 1), LANE)
     nphases = max(topo.nphases, 1, int(min_phases))

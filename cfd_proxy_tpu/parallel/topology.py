@@ -88,21 +88,35 @@ def build_halo_topology(
     for i, pt in enumerate(parts):
         check(pt.part_id == i,
               "parts out of order: index %d holds part_id %d", i, pt.part_id)
+    # reverse lookup (owner, partner, round) → comm entry, built ONCE — the
+    # per-edge rescan of partner.comm was O(edges × entries); duplicate
+    # entries (previously caught by the len==1 scan) error at insert
+    rev: dict[tuple[int, int, int], object] = {}
+    for pt in parts:
+        for e in pt.comm:
+            key = (pt.part_id, e.partner, e.round)
+            check(key not in rev, "duplicate comm entry %d->%d round %d", *key)
+            rev[key] = e
     for r in range(nrounds):
         # directed edges with payload: (src, dst, sendidx, recvidx)
         edges = []
         for pt in parts:
             for e in pt.comm:
-                if e.round == r and e.sendidx.size:
-                    # the matching recv list lives at the partner
-                    partner = parts[e.partner]
-                    back = [x for x in partner.comm
-                            if x.partner == pt.part_id and x.round == r]
-                    check(len(back) == 1, "unpaired comm entry %d->%d round %d",
-                          pt.part_id, e.partner, r)
-                    check(back[0].recvidx.size == e.sendidx.size,
-                          "send/recv size mismatch %d->%d", pt.part_id, e.partner)
-                    edges.append((pt.part_id, e.partner, e.sendidx, back[0].recvidx))
+                if e.round != r:
+                    continue
+                # pairing is validated for EVERY entry, including empty
+                # senders: an empty sendidx paired with a nonempty partner
+                # recvidx was previously skipped before the size check ran,
+                # leaving those ghosts silently unfilled on the XLA path
+                # (the Pallas path caught it later in build_tlayout)
+                back = rev.get((e.partner, pt.part_id, r))
+                check(back is not None, "unpaired comm entry %d->%d round %d",
+                      pt.part_id, e.partner, r)
+                check(back.recvidx.size == e.sendidx.size,
+                      "send/recv size mismatch %d->%d", pt.part_id, e.partner)
+                if e.sendidx.size:
+                    edges.append((pt.part_id, e.partner, e.sendidx,
+                                  back.recvidx))
 
         # greedy edge coloring per transport class: intra-slice (ICI) edges
         # first, inter-slice (DCN) edges into separate later phases.

@@ -47,6 +47,26 @@ def test_every_edge_scheduled_once(setup):
     assert got == want
 
 
+def test_asymmetric_comm_entry_raises():
+    """An EMPTY sendidx paired with a nonempty partner recvidx must raise,
+    not silently drop the edge (review find: the edge loop skipped empty
+    senders BEFORE the size check, so the receiver's ghosts were never
+    filled on the XLA path and no error fired)."""
+    import dataclasses
+
+    mesh = generate_mesh(9, 8, 7, jitter=0.05, diag_frac=0.25, seed=61)
+    parts = partition_mesh(mesh, 4, ghost_layers=1)
+    # find a directed edge and empty the SENDER side only
+    src = next(p for p in parts if p.comm and p.comm[0].sendidx.size)
+    e = src.comm[0]
+    bad = dataclasses.replace(e, sendidx=e.sendidx[:0])
+    src.comm[src.comm.index(e)] = bad
+    from cfd_proxy_tpu.utils.errors import CheckError
+
+    with pytest.raises(CheckError, match="size mismatch"):
+        build_halo_topology(parts, max(p.npoint for p in parts) + 1)
+
+
 def test_tlayout_permutation_completion(setup):
     parts, topo = setup
     lay = build_tlayout(parts, topo)
