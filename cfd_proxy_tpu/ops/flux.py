@@ -38,11 +38,12 @@ def compute_psd_flux(
     """Golden NumPy flux accumulation (sequential C-loop order semantics)."""
     npoint, nvar = var.shape
     p0, p1 = faces[:, 0], faces[:, 1]
-    uLn = np.einsum("fd,fd->f", var[p0][:, :3], normals)
-    uRn = np.einsum("fd,fd->f", var[p1][:, :3], normals)
+    vL, vR = var[p0], var[p1]       # gather each endpoint ONCE (dominant
+    uLn = np.einsum("fd,fd->f", vL[:, :3], normals)   # memory traffic)
+    uRn = np.einsum("fd,fd->f", vR[:, :3], normals)
     a = np.maximum(np.abs(uLn), np.abs(uRn))
-    F = 0.5 * (uLn[:, None] * var[p0] + uRn[:, None] * var[p1]) \
-        - 0.5 * a[:, None] * (var[p1] - var[p0])
+    F = 0.5 * (uLn[:, None] * vL + uRn[:, None] * vR) \
+        - 0.5 * a[:, None] * (vR - vL)
     res = np.zeros((npoint, nvar), dtype=np.result_type(var, normals))
     idx = faces.reshape(-1)
     signed = np.stack([F, -F], axis=1).reshape(-1, nvar)

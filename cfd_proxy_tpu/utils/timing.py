@@ -30,15 +30,13 @@ def two_point_sampler(run_small, run_big, iters: int, *,
     Shared by solver.time_schedule, tools/kbench, tools/mbench so the
     method can only be fixed in one place.
     """
-    import time as _time
-
     def sample():
-        t0 = _time.perf_counter()
+        t0 = time.perf_counter()
         run_big()
-        t_big = _time.perf_counter() - t0
-        t0 = _time.perf_counter()
+        t_big = time.perf_counter() - t0
+        t0 = time.perf_counter()
         run_small()
-        t_small = _time.perf_counter() - t0
+        t_small = time.perf_counter() - t0
         diff = t_big - t_small
         if diff < noise_frac * t_big:
             return None
@@ -75,7 +73,10 @@ class IterationStats:
         return len(self.times)
 
     def _sorted(self) -> list[float]:
-        return sorted(self.times)
+        # zero collected samples degrade to NaN stats (a readable "no
+        # measurement" row) instead of IndexError/ZeroDivisionError from a
+        # public-API caller that never hit solver.time_schedule's guard
+        return sorted(self.times) or [float("nan")]
 
     @property
     def min(self) -> float:
@@ -93,16 +94,21 @@ class IterationStats:
 
     @property
     def mean(self) -> float:
-        return sum(self.times) / len(self.times)
+        return sum(self.times) / len(self.times) if self.times \
+            else float("nan")
 
     def summary(self) -> dict:
+        # one shared sort instead of three property re-sorts
+        s = self._sorted()
+        m = len(s) // 2
+        med = s[m] if len(s) % 2 else 0.5 * (s[m - 1] + s[m])
         return {
             "name": self.name,
             "iters": self.n,
-            "min_s": self.min,
-            "median_s": self.median,
+            "min_s": s[0],
+            "median_s": med,
             "mean_s": self.mean,
-            "max_s": self.max,
+            "max_s": s[-1],
         }
 
 
@@ -115,13 +121,21 @@ def format_stats_table(stats: list[IterationStats], *, ref: str | None = None) -
     lines = [
         f"{'variant':<28} {'iters':>5} {'min(ms)':>9} {'med(ms)':>9} {'max(ms)':>9} {'speedup':>8}"
     ]
+    import math
+
     ref_med = None
     if ref is not None:
         for s in stats:
             if s.name == ref:
                 ref_med = s.median
+    # `is not None` + finite, NOT truthiness: a ref median of exactly 0.0
+    # (or the NaN noise-floor sentinel) must print '-' rather than silently
+    # dropping the column / printing nan speedups
+    have_ref = (ref_med is not None and math.isfinite(ref_med)
+                and ref_med > 0.0)
     for s in stats:
-        sp = f"{ref_med / s.median:8.2f}" if ref_med else f"{'-':>8}"
+        ok = have_ref and math.isfinite(s.median) and s.median > 0.0
+        sp = f"{ref_med / s.median:8.2f}" if ok else f"{'-':>8}"
         lines.append(
             f"{s.name:<28} {s.n:>5} {s.min * 1e3:>9.3f} {s.median * 1e3:>9.3f} "
             f"{s.max * 1e3:>9.3f} {sp}"
