@@ -31,6 +31,97 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _sig(x, n=4):
+    """Round floats to n significant digits, recursively — the compact
+    stdout line's byte budget is real (see _compact)."""
+    if isinstance(x, dict):
+        return {k: _sig(v, n) for k, v in x.items()}
+    if isinstance(x, (list, tuple)):
+        return [_sig(v, n) for v in x]
+    if isinstance(x, float):
+        if not np.isfinite(x) or x == 0.0:
+            return x if np.isfinite(x) else None
+        import math
+
+        return round(x, -int(math.floor(math.log10(abs(x)))) + (n - 1))
+    return x
+
+
+def _div(x, d):
+    return None if x is None else x / d
+
+
+def _compact(o: dict) -> dict:
+    """Compact summary of the full result dict for the FINAL stdout line.
+
+    The driver's artifact keeps only the LAST 2000 chars of stdout and
+    parses the last line as JSON; round 3's single full-detail line outgrew
+    that window and the f32 headline fell out of BENCH_r03.json (VERDICT r3
+    item 1).  The full dict now goes to stderr (FULL_JSON line) and this
+    abbreviated view — same numbers, short keys, 4 significant digits — is
+    what gets committed.  Schema notes: sched_ms = median ms per schedule;
+    mc_model rows = [bulk_gfps, overlap_gfps, eff_hide, eff_solverdef]."""
+    c = {k: o.get(k) for k in ("metric", "value", "unit", "vs_baseline",
+                               "platform", "kernel", "nface", "schedule",
+                               "median_ms")}
+    if "schedules" in o:
+        c["sched_ms"] = {s: e.get("median_ms")
+                         for s, e in o["schedules"].items()}
+    if "overlap_efficiency" in o:
+        c["overlap_efficiency"] = o["overlap_efficiency"]
+        if o.get("overlap_efficiency") is None:
+            note = o.get("overlap_efficiency_note", "")
+            c["oe_note"] = ("P=1: comm unmeasurable" if "P=1" in note
+                            else note[:90])
+    rp = o.get("reduced_precision")
+    if rp:
+        c["reduced"] = {
+            "gfps": _div(rp.get("faces_per_sec"), 1e9),
+            "ms": rp.get("median_ms"),
+            "x_f32": rp.get("speedup_vs_f32"),
+            "x_node": rp.get("vs_2socket_node_est"),
+        }
+        bg = rp.get("with_bf16_grads")
+        if bg:
+            c["reduced"]["bf16_grads_gfps"] = _div(
+                bg.get("faces_per_sec"), 1e9)
+    sm = o.get("small_mesh")
+    if sm:
+        c["small"] = {
+            "nface": sm.get("nface"),
+            "ms": {s: e.get("median_ms")
+                   for s, e in sm.get("schedules", {}).items()},
+            "ovl_x_bulk": sm.get("overlap_speedup_vs_bulk"),
+        }
+    if o.get("flux"):
+        c["flux_gfps"] = _div(o["flux"].get("faces_per_sec"), 1e9)
+    if o.get("solver_mode"):
+        c["solver_ms"] = o["solver_mode"].get("ms_per_step")
+    mc = o.get("multichip_model")
+    if mc:
+        m = {"note": "MODEL not measurement; rows=[bulk_gfps, ovl_gfps, "
+                     "eff_hide, eff_solverdef (gate metric)]"}
+        for k, v in mc.items():
+            if isinstance(v, dict) and "bulk_gfps" in v:
+                m[k] = [v.get("bulk_gfps"), v.get("overlap_gfps"),
+                        v.get("eff_hide"), v.get("eff_solverdef")]
+        sens = mc.get("strong_P8_eff_solverdef_vs_overlap_fixed_us")
+        if sens:
+            m["effS_P8_vs_fixed_us"] = sens
+        c["mc_model"] = m
+    if o.get("node_est_faces_per_sec") is not None:
+        c["node"] = {
+            "c1_dram_mfps": _div(
+                o.get("cpu_golden_c_dram_faces_per_sec"), 1e6),
+            "est_gfps": _div(o["node_est_faces_per_sec"], 1e9),
+            "x_est": o.get("vs_2socket_node_est"),
+            "x_64c_legacy": o.get("vs_2socket_node_64c_est"),
+            "x_at_gbps": o.get("vs_node_at_gbps"),
+            "host_cores": o.get("host_cores"),
+        }
+    return c
+
+
 def measure_cpu_golden(nx: int = 32) -> dict:
     """CPU-denominator measurements: NumPy golden + the C golden
     (native/golden.cc, the reference's actual language) at 1 core and at
@@ -88,6 +179,27 @@ def measure_cpu_golden(nx: int = 32) -> dict:
         out["c1_dram_fps"] = best(
             lambda: golden_gg_c(vard, md.faces, md.normals, nthreads=1,
                                 validate=False), md.nface)
+        # MEASURED thread-scaling table on the DRAM-bound mesh (VERDICT r3
+        # item 3: the node estimate's linear-64 input had never been
+        # anchored by a measured saturation curve).  On a multi-core host
+        # this records where the shared memory bus saturates; THIS sandbox
+        # host has 1 core (nproc=1, verified), so the table here can only
+        # document that fact — the curve itself is environmentally
+        # unmeasurable and the node margin's sensitivity to the assumed
+        # node bandwidth is reported instead (node_sensitivity below).
+        nts, nt = [], 1
+        while nt < out["host_cores"]:
+            nts.append(nt)
+            nt *= 2
+        nts.append(out["host_cores"])
+        if out["host_cores"] == 1:
+            nts = [1, 2]    # 2 = oversubscription smoke: threaded mode runs
+        out["c_thread_fps"] = {
+            str(t): best(lambda t=t: golden_gg_c(
+                vard, md.faces, md.normals, nthreads=t, validate=False),
+                md.nface)
+            for t in nts
+        }
     log(f"cpu golden: {m.nface} faces, numpy {out['numpy_fps']/1e6:.2f} "
         f"Mf/s, C 1-core {out.get('c1_fps', 0)/1e6:.2f} Mf/s, "
         f"C {out['host_cores']}-core {out.get('call_fps', 0)/1e6:.2f} Mf/s, "
@@ -301,37 +413,89 @@ def main() -> int:
     if (on_tpu and os.environ.get("BENCH_MODEL_BLOCK", "1") != "0"):
         # multichip prediction block — MODEL, NOT MEASUREMENT (this sandbox
         # has one chip).  All sweep-side inputs are measured (the size-
-        # dependent rate table + the 70 us fixed costs); the 45 GB/s ICI is
-        # the v5e wire spec, bracketed from above by icibench's 371 GB/s
-        # measured DMA rate.  Committed so the BENCH artifact records what
-        # the calibrated model predicts alongside what the chip measured.
+        # dependent rate table + the 70 us fixed costs); the ICI GB/s are
+        # wire specs, bracketed from above by icibench's measured 371-648
+        # GB/s self-send DMA rate.  Two overlap-efficiency definitions per
+        # row (tools/scaling_model.py::eval_geometry): eff_hide (pure hide
+        # ratio, the historic number) and eff_solverdef (what solver.run
+        # would measure: 1-(over-nocomm)/(bulk-nocomm) — the honest gate
+        # metric, charging both schedules' fixed costs).
         try:
             from cfd_proxy_tpu.mesh.generator import generate_mesh
             from cfd_proxy_tpu.tools.scaling_model import (
-                RATE_TABLES, model_partitioning)
+                RATE_TABLES, V5E_HBM_GBPS, V5E_ICI_GBPS, V5P_HBM_GBPS,
+                V5P_ICI_GBPS, eval_geometry, scale_rate_table,
+                shard_geometry)
+
+            rt = RATE_TABLES["f32"]
+            kw = dict(overlap_fixed_us=70.0, bulk_fixed_us=70.0,
+                      halo_bytes=4)
+
+            def row(geo, ici, table):
+                r = eval_geometry(geo, None, ici, 24, rate_table=table, **kw)
+                return {
+                    "nface": r["nface"],
+                    "bulk_gfps": r["nface"] / r["t_bulk"] / 1e9,
+                    "overlap_gfps": r["nface"] / r["t_over"] / 1e9,
+                    "eff_hide": r["eff_hide"],
+                    "eff_solverdef": r["eff_solverdef"],
+                }
 
             gm = generate_mesh(nx, nx, nx, jitter=0.05, diag_frac=0.2,
                                seed=0)
-            rows = {}
-            for P in (8, 64):
-                nft, t_bulk, t_over, eff = model_partitioning(
-                    gm, P, None, 45.0, 24, overlap_fixed_us=70.0,
-                    halo_bytes=4, rate_table=RATE_TABLES["f32"],
-                    bulk_fixed_us=70.0)
-                rows[f"P{P}"] = {
-                    "bulk_gfps": nft / t_bulk / 1e9,
-                    "overlap_gfps": nft / t_over / 1e9,
-                    "overlap_efficiency": eff,
-                }
-            out["multichip_model"] = {
+            geo8 = shard_geometry(gm, 8)
+            rows = {"strong_P8": row(geo8, V5E_ICI_GBPS, rt),
+                    "strong_P64": row(shard_geometry(gm, 64),
+                                      V5E_ICI_GBPS, rt)}
+            # gate sensitivity to the ONE measured fixed cost standing
+            # between the strong-P8 model and the >=85% gate (VERDICT r3
+            # item 2c): eff_solverdef at the strong-P8 config vs the fused
+            # kernel's fixed cost
+            sens = {}
+            for fu in (0, 35, 70, 140):
+                r = eval_geometry(geo8, None, V5E_ICI_GBPS, 24,
+                                  rate_table=rt, overlap_fixed_us=fu,
+                                  bulk_fixed_us=70.0)
+                sens[str(fu)] = r["eff_solverdef"]
+            block = {
                 "note": "MODEL not measurement (single-chip sandbox); "
-                        "rate table + 70us fixed costs measured, "
-                        "45 GB/s ICI assumed (icibench brackets from above)",
+                        "rate table + 70us fixed costs measured; ICI "
+                        "45 (v5e) / 90 (v5p) GB/s wire specs, icibench "
+                        "brackets from above.  eff_solverdef = what "
+                        "solver.run would measure (gate metric); eff_hide "
+                        "= pure hide ratio",
                 **rows,
+                "strong_P8_eff_solverdef_vs_overlap_fixed_us": sens,
             }
-            log(f"multichip MODEL: " + " ".join(
-                f"{k}: bulk={v['bulk_gfps']:.1f}G overlap="
-                f"{v['overlap_gfps']:.1f}G" for k, v in rows.items()))
+            if os.environ.get("BENCH_NORTHSTAR", "1") != "0":
+                # the BASELINE.json target config (VERDICT r3 item 2a): a
+                # v5p-8 slice on weak-scaled F6-class shards — 2.8M faces
+                # PER SHARD at P=8 (nx=192 -> 22.5M global).  The v5p row
+                # scales the measured rate table by the HBM ratio (the f32
+                # kernel is measured AT its memory floor, so plateau-size
+                # ns/face transfers across HBM generations) and uses the
+                # v5p ICI spec; fixed costs stay at the v5e-measured 70us
+                # (conservative — v5p dispatch is not slower).  Host cost
+                # ~2.5 min (22.5M-face mesh gen + RCB x8); BENCH_NORTHSTAR=0
+                # skips.
+                nxw = int(os.environ.get("BENCH_NORTHSTAR_NX", "192"))
+                gmw = generate_mesh(nxw, nxw, nxw, jitter=0.05,
+                                    diag_frac=0.2, seed=0)
+                geow = shard_geometry(gmw, 8)
+                block["weak_F6class_P8_v5e"] = row(geow, V5E_ICI_GBPS, rt)
+                block["northstar_weak_F6class_P8_v5p"] = {
+                    **row(geow, V5P_ICI_GBPS,
+                          scale_rate_table(rt, V5E_HBM_GBPS / V5P_HBM_GBPS)),
+                    "note": "BASELINE.json target config (v5p-8, weak-"
+                            "scaled F6-class shards); gate metric is "
+                            "eff_solverdef",
+                }
+            out["multichip_model"] = block
+            log("multichip MODEL: " + " ".join(
+                f"{k}: bulk={v['bulk_gfps']:.1f}G ovl={v['overlap_gfps']:.1f}G"
+                f" effS={v['eff_solverdef']}"
+                for k, v in block.items() if isinstance(v, dict)
+                and "bulk_gfps" in v))
         except Exception as e:  # model block must never sink the benchmark
             log(f"multichip model block skipped: {e}")
     if "c1_fps" in cpu:
@@ -356,10 +520,28 @@ def main() -> int:
         node_bw = float(os.environ.get("BENCH_NODE_GBPS", "500")) * 1e9 / 816
         node = max(node_lin, node_bw)
         out["cpu_golden_c_dram_faces_per_sec"] = float(c1d)
+        out["cpu_c_thread_fps"] = cpu.get("c_thread_fps")
+        out["host_cores"] = cpu["host_cores"]
         out["node_est_faces_per_sec"] = float(node)
         out["node_est_linear64_faces_per_sec"] = float(node_lin)
         out["node_est_bw_capped_faces_per_sec"] = float(node_bw)
         out["vs_2socket_node_est"] = float(fps / node)
+        # the one free parameter left in the node estimate is the assumed
+        # node DRAM bandwidth (this host is SINGLE-CORE — nproc=1, so the
+        # multi-core saturation curve that would anchor it is
+        # environmentally unmeasurable; c_thread_fps records the 1-core
+        # host's oversubscription smoke).  Report the margin's sensitivity
+        # so the gate verdict's dependence on the assumption is explicit:
+        # 300 GB/s ~ an older 2-socket DDR4 node, 500 the default (modern
+        # DDR5 2-socket), 800 an aggressive HBM-less upper bound.
+        out["node_est_note"] = (
+            "single-core host: node scaling unmeasurable in-sandbox; est = "
+            "max(64 x measured DRAM-bound core rate, node-BW wall at "
+            "measured 816 B/face)")
+        out["vs_node_at_gbps"] = {
+            str(g): float(fps / max(node_lin, g * 1e9 / 816))
+            for g in (300, 500, 800)
+        }
         # legacy key (round-1/2 continuity): 64 x the small-mesh c1 —
         # cache-resident, so on an idle host it overstates the node
         out["vs_2socket_node_64c_est"] = float(fps / (64 * cpu["c1_fps"]))
@@ -370,7 +552,24 @@ def main() -> int:
 
     # tiny meshes can sit below the dispatch-noise floor → NaN medians; emit
     # null, not bare NaN (invalid strict JSON)
-    print(json.dumps(_finite_or_none(out)))
+    out = _finite_or_none(out)
+    # full detail to stderr (humans / BASELINE.md); the committed stdout
+    # line is the COMPACT view — the driver's tail window is 2000 chars and
+    # round 3's full line outgrew it, losing the f32 headline from the
+    # artifact (VERDICT r3 item 1)
+    log("FULL_JSON " + json.dumps(out))
+    comp = _sig(_compact(out))
+    line = json.dumps(comp)
+    # belt and braces: if future rows grow the compact line past the
+    # window, shed optional blocks (least critical first) rather than
+    # letting the tail truncate the headline away again
+    for drop in ("small", "node", "mc_model", "reduced", "sched_ms"):
+        if len(line) <= 1900:
+            break
+        comp.pop(drop, None)
+        comp["dropped"] = comp.get("dropped", []) + [drop]
+        line = json.dumps(comp)
+    print(line)
     return 0
 
 

@@ -261,7 +261,12 @@ class GreenGaussPallas:
         # larger ext halo (ep 22528 vs 6272 at 110k pts).
         self.bp_auto = bp is None
         if self.bp_auto:
-            bp = 4096 if max(p.npoint for p in parts) >= BP_AUTO_SMALL else \
+            # keyed on OWNED points: the paired crossover anchors (110k/216k
+            # vs 373k) were measured at P=1 where npoint == nowned; on
+            # multi-shard meshes 1-2 ghost layers inflate npoint ~10-30% and
+            # would bias shards just below the crossover into the bp=4096
+            # regime the calibration never measured (advisor find, round 3)
+            bp = 4096 if max(p.nowned for p in parts) >= BP_AUTO_SMALL else \
                 BP_SMALL
         # cap the block size at the (128-rounded) shard size: blocks larger
         # than the shard are pure padding — without this the bp=4096 default

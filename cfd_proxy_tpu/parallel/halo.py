@@ -85,10 +85,17 @@ def exchange_finish(
 
     ONE fused scatter for all phases: per-phase recv sets are disjoint by
     construction (each ghost is filled by exactly one comm entry —
-    MeshPartition.validate pins recvidx uniqueness) and padding lanes are
-    OOB indices dropped by mode='drop', so concatenating is equivalent to
-    the per-phase chain — and pays XLA's scatter cost (the slowest
-    primitive on this chip, ~3 GB/s) once instead of nphases times."""
+    MeshPartition.validate pins GLOBAL recvidx uniqueness) and padding lanes
+    are OOB indices dropped by mode='drop', so concatenating is equivalent
+    to the per-phase chain — and pays XLA's scatter cost (the slowest
+    primitive on this chip, ~3 GB/s) once instead of nphases times.
+
+    Correctness therefore DEPENDS on validate() having run: duplicate recv
+    indices would make this single .at[].set XLA-nondeterministic where the
+    old per-phase chain was last-write-wins.  Every partition constructor in
+    this repo validates (mesh/partition.py::partition_mesh + relabel_owned,
+    mesh/reader.py::read_partition); hand-built MeshPartitions must call
+    .validate() themselves or duplicate ghosts fail silently here."""
     if not bufs:
         return x
     idx = halo.recv_idx[: len(bufs)].reshape(-1)

@@ -40,6 +40,17 @@ def main(argv=None) -> int:
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--link-gbps", type=float, default=45.0,
                     help="per-link wire spec used for the suggestion line")
+    ap.add_argument("--mode", default="full",
+                    choices=["full", "nobar", "baronly", "empty"],
+                    help="fixed-cost DECOMPOSITION of the small-payload "
+                         "knee (VERDICT r3 item 7): full = barrier + DMA + "
+                         "waits (production); nobar = DMA without the "
+                         "readiness barrier (drops collective_id — safe "
+                         "only for self-sends, which is all this tool "
+                         "fires); baronly = barrier, no DMA; empty = "
+                         "neither (the bare chained pallas-dispatch floor)."
+                         "  Differences between modes at one payload size "
+                         "attribute the ~50-170us fixed cost")
     args = ap.parse_args(argv)
 
     import jax
@@ -56,6 +67,10 @@ def main(argv=None) -> int:
     if interpret:
         print("# WARNING: no TPU — interpret mode measures nothing real")
 
+    mode = args.mode
+    do_bar = mode in ("full", "baronly")
+    do_dma = mode in ("full", "nobar")
+
     def build(nph: int, s_lanes: int):
         def kernel(dsts_ref, srcs_ref, send_ref, recv_ref, send_sems,
                    recv_sems):
@@ -70,18 +85,30 @@ def main(argv=None) -> int:
                 )
 
             # same readiness barrier as the production overlap kernel
-            if not interpret:
+            if do_bar and not interpret:
                 barrier = pltpu.get_barrier_semaphore()
                 for k in range(nph):
                     pltpu.semaphore_signal(
                         barrier, inc=1, device_id=srcs_ref[k],
                         device_id_type=pltpu.DeviceIdType.LOGICAL)
                 pltpu.semaphore_wait(barrier, nph)
-            for k in range(nph):
-                rdma(k).start()
-            for k in range(nph):
-                rdma(k).wait_send()
-                rdma(k).wait_recv()
+            if do_dma:
+                for k in range(nph):
+                    rdma(k).start()
+                for k in range(nph):
+                    rdma(k).wait_send()
+                    rdma(k).wait_recv()
+            elif not interpret:
+                # keep the output defined without the DMA: one local async
+                # copy of phase 0 (the minimal side effect — 'empty' and
+                # 'baronly' still move ONE buffer so XLA cannot elide the
+                # kernel from the chained loop)
+                cp = pltpu.make_async_copy(send_ref.at[0], recv_ref.at[0],
+                                           send_sems.at[0])
+                cp.start()
+                cp.wait()
+            else:
+                recv_ref[...] = send_ref[...]
 
         shape = (nph, args.rows, s_lanes)
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -95,6 +122,11 @@ def main(argv=None) -> int:
             ],
         )
         ids = jnp.zeros(nph, jnp.int32)        # self-sends on device 0
+        # collective_id is only valid WITH the custom barrier (Mosaic
+        # rejects it otherwise — hardware-verified, blocksweep.py)
+        cparams = (pltpu.CompilerParams(has_side_effects=True,
+                                        collective_id=7) if do_bar
+                   else pltpu.CompilerParams(has_side_effects=True))
 
         def push_body(v):
             # RDMA primitives require shard_map context (Mosaic rejects
@@ -104,8 +136,7 @@ def main(argv=None) -> int:
                 kernel,
                 grid_spec=grid_spec,
                 out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
-                compiler_params=pltpu.CompilerParams(
-                    has_side_effects=True, collective_id=7),
+                compiler_params=cparams,
                 interpret=interpret,
             )(ids, ids, v[0])[None]
 
@@ -138,6 +169,8 @@ def main(argv=None) -> int:
         return sample
 
     best_gbps = 0.0
+    print(f"# mode={mode} (barrier={'on' if do_bar else 'off'}, "
+          f"dma={'on' if do_dma else 'off'})")
     print(f"{'phases':>6} {'MB/phase':>9} {'ms/iter':>9} {'GB/s payload':>13} "
           f"{'GB/s HBM r+w':>13}")
     for nph in args.phases:

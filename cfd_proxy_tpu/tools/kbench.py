@@ -395,8 +395,14 @@ def main(argv=None) -> int:
                 off += w
         d = jnp.concatenate(parts, axis=-1)                 # (nb, NV, L)
         active = (sw_c != 0).any(axis=1)[:, None, :]        # (nb, 1, L)
-        sc = jnp.maximum(jnp.abs(jnp.where(active, d, 0.0)).max(axis=2),
-                         1e-30) / 127.0                     # (nb, NV)
+        # zero the inactive lanes BEFORE quantizing, not just for the scale:
+        # padding lanes inside a 128-rounded prefix carry field-scale garbage
+        # deltas that can exceed int8 range under the active-lane scale, and
+        # .astype(int8) overflow is implementation-defined.  The kernel
+        # zero-weights those lanes either way; this keeps the stored table
+        # well-defined (advisor find, round 3).
+        d = jnp.where(active, d, 0.0)
+        sc = jnp.maximum(jnp.abs(d).max(axis=2), 1e-30) / 127.0  # (nb, NV)
         q = jnp.round(d / sc[:, :, None]).astype(jnp.int8)
         return q, jnp.broadcast_to(sc[:, :, None],
                                    (*sc.shape, LANE)).astype(jnp.float32)

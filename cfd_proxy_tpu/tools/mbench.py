@@ -154,6 +154,14 @@ def main(argv=None) -> int:
                     help="SolverConfig overrides for side A")
     ap.add_argument("--b", default="", metavar="K=V,...",
                     help="SolverConfig overrides for side B")
+    ap.add_argument("--null", type=int, default=3, metavar="N",
+                    help="same-session NULL CALIBRATION pairs emitted with "
+                         "every run: N pairs of consecutive side-A samples "
+                         "whose ratio should center on 1.0 — the harness's "
+                         "zero point, measured in THIS session's drift "
+                         "regime rather than quoted from a one-off run "
+                         "(round 3's 0.985 lived only in BASELINE.md "
+                         "prose).  0 disables")
     ap.add_argument("--json", action="store_true",
                     help="emit one JSON line instead of the table")
     ap.add_argument("--platform", default=None,
@@ -212,6 +220,17 @@ def main(argv=None) -> int:
     for _ in range(max(0, args.warmup)):
         sample_a(), sample_b()
 
+    # null calibration: consecutive same-runner samples — the ratio
+    # distribution's center IS the harness zero point for this session
+    null_ratios = []
+    for r in range(max(0, args.null)):
+        t1, t2 = sample_a(), sample_a()
+        if t1 is None or t2 is None:
+            continue
+        null_ratios.append(t1 / t2)
+        print(f"null {r}: {t1*1e3:.4f} / {t2*1e3:.4f} ms  "
+              f"ratio {t1/t2:.4f}", file=sys.stderr)
+
     ratios, ta_all, tb_all, skipped = [], [], [], 0
     for r in range(args.repeats):
         # alternate within-pair order (A,B then B,A) so any systematic
@@ -248,16 +267,21 @@ def main(argv=None) -> int:
         "ratio_a_over_b": med, "iqr": [q1, q3],
         "a_ms": ma * 1e3, "b_ms": mb * 1e3,
         "a_gfps": nface / ma / 1e9, "b_gfps": nface / mb / 1e9,
+        "null_ratio": (float(np.median(null_ratios)) if null_ratios
+                       else None),
+        "null_pairs": len(null_ratios),
     }
     if args.json:
         print(json.dumps(out))
     else:
+        nr = (f"  null={out['null_ratio']:.4f} (n={out['null_pairs']})"
+              if out["null_ratio"] is not None else "")
         print(f"A [{out['a']}] {out['a_ms']:.4f} ms = {out['a_gfps']:.4g} "
               f"Gf/s\nB [{out['b']}] {out['b_ms']:.4f} ms = "
               f"{out['b_gfps']:.4g} Gf/s\n"
               f"paired ratio A/B: {med:.4f}  IQR [{q1:.4f}, {q3:.4f}]  "
               f"n={len(ratios)}" + (f"  ({skipped} below noise)"
-                                    if skipped else ""))
+                                    if skipped else "") + nr)
     return 0
 
 

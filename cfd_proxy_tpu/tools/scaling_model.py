@@ -68,73 +68,142 @@ def rate_ns_per_face(nface: int, table) -> float:
     return float(np.interp(np.log(max(nface, 1)), x, y))
 
 
-def model_partitioning(mesh, P, ns_per_face, ici_gbps, rows,
-                       overlap_fixed_us=0.0, halo_bytes=4, rate_table=None,
-                       bulk_fixed_us=0.0, slice_size=None, dcn_gbps=None):
-    """Per-shard times from the REAL phase schedule: wire volume is the
-    PADDED per-phase buffer (nphases × s_max × rows × 4B for every phase a
-    device actually sends to a peer), matching parallel/tlayout.py — the
-    unpadded sendidx sum would be optimistic on imbalanced partitions.
+# Hardware parameterization for the north-star target (BASELINE.json: a
+# v5p-8 slice).  The f32 compact kernel is MEASURED dead even with its own
+# memory floor on this v5e (paired prod/stream 1.006, BASELINE.md floor
+# triple), so at plateau-sized shards (>= ~2.8M faces) its ns/face transfers
+# across HBM generations by the bandwidth ratio to first order — that is the
+# ONLY regime scale_rate_table should be trusted in (the small-shard anchors
+# are dispatch-floor-dominated and do NOT scale with HBM).  ICI: v5e spec
+# 1600 Gbps/chip over 4 links ≈ 50 GB/s/link (modeled 45, bracketed from
+# above by icibench's 371-648 GB/s self-send DMA); v5p spec 4800 Gbps/chip
+# over 6 links ≈ 100 GB/s/link, modeled 90 with the same ~10% discount.
+V5E_HBM_GBPS = 819.0
+V5P_HBM_GBPS = 2765.0
+V5E_ICI_GBPS = 45.0
+V5P_ICI_GBPS = 90.0
 
-    slice_size (multi-slice deployments): phases are edge-colored
-    ICI-first/DCN-separated (parallel/topology.py); a shard's comm time is
-    then its ICI bytes at ici_gbps PLUS its DCN bytes at dcn_gbps (the
-    phases are sequential ppermutes).  Both schedules hide the whole chain
-    under interior compute the same way (in the overlap schedule the fused
-    kernel carries only ICI phases; DCN rides ppermute fired before it)."""
+
+def scale_rate_table(table, factor: float):
+    """Scale a measured (nface, ns/face) table's rates by `factor` (e.g.
+    V5E_HBM_GBPS / V5P_HBM_GBPS to project the memory-bound f32 kernel onto
+    v5p HBM).  Valid only where the kernel is at its memory floor — plateau
+    shard sizes; see the note above."""
+    return [(n, r * factor) for n, r in table]
+
+
+def shard_geometry(mesh, P, slice_size=None) -> dict:
+    """Partition once and extract the per-shard GEOMETRIC model inputs:
+    (nface, boundary faces, ICI send phases, DCN send phases) per shard plus
+    the padded phase buffer width.  The expensive step (RCB partition + halo
+    layout) is thus shared across hardware parameterizations — bench.py
+    evaluates the same geometry under v5e and v5p parameters.
+
+    Wire volume downstream is the PADDED per-phase buffer (s_max × rows ×
+    halo_bytes for every phase a device actually sends to a peer), matching
+    parallel/tlayout.py — the unpadded sendidx sum would be optimistic on
+    imbalanced partitions."""
     from cfd_proxy_tpu.parallel.tlayout import build_tlayout
     from cfd_proxy_tpu.parallel.topology import build_halo_topology
 
     parts = partition_mesh(mesh, P)
-    nface_total = sum(p.nface for p in parts)   # solver.run's denominator
     topo = build_halo_topology(parts, max(p.npoint for p in parts) + 1,
                                slice_size=slice_size)
     lay = build_tlayout(parts, topo)
-    t_bulk = t_over = 0.0
-    eff_num = eff_den = 0.0
+    inter = np.asarray(lay.inter_slice, bool)
+    shards = []
     for d, p in enumerate(parts):
-        # per-SHARD sweep rate: a strong-scaled shard runs at its own
-        # footprint's measured rate (RATE_TABLES), not the global mesh's
-        nspf = (rate_ns_per_face(p.nface, rate_table) if rate_table
-                else ns_per_face)
         sp = send_point_set(p)
         is_send = np.zeros(p.npoint, bool)
         is_send[sp] = True
         bsel = is_send[p.faces[:, 0]] | is_send[p.faces[:, 1]]
-        nfb = int(bsel.sum())
-        nfi = p.nface - nfb
         sends = lay.dsts[d] != d
-        inter = np.asarray(lay.inter_slice, bool)
-        n_ici = int((sends & ~inter).sum())
-        n_dcn = int((sends & inter).sum())
-        phase_bytes = lay.s_max * rows * halo_bytes
-        ts_all = p.nface * nspf * 1e-9
+        shards.append((p.nface, int(bsel.sum()),
+                       int((sends & ~inter).sum()),
+                       int((sends & inter).sum())))
+    return {"nface_total": sum(p.nface for p in parts),
+            "s_max": int(lay.s_max), "shards": shards}
+
+
+def eval_geometry(geo: dict, ns_per_face, ici_gbps, rows, *,
+                  overlap_fixed_us=0.0, halo_bytes=4, rate_table=None,
+                  bulk_fixed_us=0.0, dcn_gbps=None) -> dict:
+    """Evaluate the schedule time model on a shard_geometry.
+
+    Schedule dataflows (per shard; per-chip time = max over shards — the
+    benchmark barrier):
+        bulk    : t_sweep(all) + t_comm + bulk_fixed      (serialized)
+        overlap : t_sweep(boundary) + max(t_sweep(interior), t_comm)
+                  + overlap_fixed
+        nocomm  : t_sweep(all)                            (the floor)
+
+    bulk_fixed_us: the bulk schedule's separate pack → exchange → unpack
+    dispatch chain is not free — icibench measured 50-170 us of fixed cost
+    PER DMA kernel and the fused kernel's equivalent machinery measured
+    ~70 us; without this term the model predicts bulk beating overlap at
+    high P purely because bulk's dispatch chain was modeled as zero-cost.
+    overlap_fixed_us: the fused kernel's MEASURED per-step fixed cost
+    (readiness barrier + per-phase DMA machinery + recv scatter; BASELINE.md
+    small-mesh row).  Both apply only when the shard actually exchanges.
+
+    Multi-slice: a geometry built with slice_size carries DCN phase counts;
+    those phases are charged at dcn_gbps (sequential ppermutes), mirroring
+    the ICI-first/DCN-separated phase coloring the framework runs.
+
+    Returns every aggregate the callers report, including BOTH
+    overlap-efficiency definitions:
+    - eff_hide: Σ min(t_interior, t_comm) / Σ t_comm — the pure what-can-
+      hide ratio (fixed costs excluded); the historic table number.
+    - eff_solverdef: 1 − (t_over − t_nocomm)/(t_bulk − t_nocomm) — exactly
+      what solver.run computes from measured medians, so a real multi-chip
+      measurement is comparable to THIS number.  Charges both schedules'
+      fixed costs; this is the honest gate metric for BASELINE.json's ≥85%.
+    """
+    t_bulk = t_over = t_nc = 0.0
+    eff_num = eff_den = 0.0
+    for nface, nfb, n_ici, n_dcn in geo["shards"]:
+        # per-SHARD sweep rate: a strong-scaled shard runs at its own
+        # footprint's measured rate (RATE_TABLES), not the global mesh's
+        nspf = (rate_ns_per_face(nface, rate_table) if rate_table
+                else ns_per_face)
+        nfi = nface - nfb
+        phase_bytes = geo["s_max"] * rows * halo_bytes
+        ts_all = nface * nspf * 1e-9
         ts_b = nfb * nspf * 1e-9
         ts_i = nfi * nspf * 1e-9
         tc = n_ici * phase_bytes / (ici_gbps * 1e9)
         if n_dcn:
             tc += n_dcn * phase_bytes / ((dcn_gbps or ici_gbps) * 1e9)
-        nsend_phases = n_ici + n_dcn
-        # bulk_fixed_us: the bulk schedule's separate pack -> exchange ->
-        # unpack dispatch chain is not free — icibench measured 50-170 us of
-        # fixed cost PER DMA kernel, and the fused kernel's equivalent
-        # machinery measured ~70 us.  Without this term the model predicts
-        # bulk beating overlap at high P purely because bulk's dispatch
-        # chain was modeled as zero-cost — an artifact.  Applied only when
-        # the shard actually exchanges (at P=1 the measured rate table
-        # already contains the no-comm bulk path).
-        fx = bulk_fixed_us * 1e-6 if nsend_phases else 0.0
+        fx = bulk_fixed_us * 1e-6 if (n_ici + n_dcn) else 0.0
+        ofx = overlap_fixed_us * 1e-6 if (n_ici + n_dcn) else 0.0
         t_bulk = max(t_bulk, ts_all + tc + fx)
-        # overlap_fixed_us: the fused kernel's MEASURED per-step fixed cost
-        # (readiness barrier + per-phase DMA machinery + recv scatter) —
-        # ~70 us at P=1 on the round-3 kernel (BASELINE.md small-mesh row).
-        # Without it the model overstates overlap wins on small shards.
-        t_over = max(t_over,
-                     ts_b + max(ts_i, tc) + overlap_fixed_us * 1e-6)
+        t_over = max(t_over, ts_b + max(ts_i, tc) + ofx)
+        t_nc = max(t_nc, ts_all)
         eff_num += min(ts_i, tc)
         eff_den += tc
-    eff = eff_num / eff_den if eff_den else None
-    return nface_total, t_bulk, t_over, eff
+    comm = t_bulk - t_nc
+    return {
+        "nface": geo["nface_total"],
+        "t_bulk": t_bulk,
+        "t_over": t_over,
+        "t_nocomm": t_nc,
+        "eff_hide": eff_num / eff_den if eff_den else None,
+        "eff_solverdef": (max(0.0, min(1.0, 1.0 - (t_over - t_nc) / comm))
+                          if comm > 0 else None),
+    }
+
+
+def model_partitioning(mesh, P, ns_per_face, ici_gbps, rows,
+                       overlap_fixed_us=0.0, halo_bytes=4, rate_table=None,
+                       bulk_fixed_us=0.0, slice_size=None, dcn_gbps=None):
+    """Back-compat wrapper: shard_geometry + eval_geometry in one call,
+    returning the historic (nface_total, t_bulk, t_over, eff_hide) tuple."""
+    geo = shard_geometry(mesh, P, slice_size=slice_size)
+    r = eval_geometry(geo, ns_per_face, ici_gbps, rows,
+                      overlap_fixed_us=overlap_fixed_us,
+                      halo_bytes=halo_bytes, rate_table=rate_table,
+                      bulk_fixed_us=bulk_fixed_us, dcn_gbps=dcn_gbps)
+    return r["nface"], r["t_bulk"], r["t_over"], r["eff_hide"]
 
 
 def main(argv=None) -> int:
@@ -211,23 +280,32 @@ def main(argv=None) -> int:
           f"(measurement-anchored); faces/sec uses sum-of-shard faces "
           f"(solver.run)")
     print(f"{'P':>4} {'shard ns/f':>10} {'bulk Gf/s':>10} "
-          f"{'overlap Gf/s':>13} {'speedup':>8} {'ovl_eff':>8}")
+          f"{'overlap Gf/s':>13} {'speedup':>8} {'eff_hide':>9} "
+          f"{'eff_slvr':>9}")
     base = None
     for P in args.parts:
-        nface_total, t_bulk, t_over, eff = model_partitioning(
-            mesh, P, args.ns_per_face, args.ici_gbps, args.rows,
+        geo = shard_geometry(mesh, P, slice_size=args.slice_size)
+        r = eval_geometry(
+            geo, args.ns_per_face, args.ici_gbps, args.rows,
             overlap_fixed_us=args.overlap_fixed_us,
             halo_bytes=args.halo_bytes, rate_table=rate_table,
-            bulk_fixed_us=args.bulk_fixed_us, slice_size=args.slice_size,
-            dcn_gbps=args.dcn_gbps)
+            bulk_fixed_us=args.bulk_fixed_us, dcn_gbps=args.dcn_gbps)
+        nface_total, t_bulk, t_over = r["nface"], r["t_bulk"], r["t_over"]
         if base is None:
             base = t_over
         shard_rate = (rate_ns_per_face(mesh.nface // P, rate_table)
                       if rate_table else args.ns_per_face)
-        eff_s = f"{eff:>8.1%}" if eff is not None else f"{'-':>8}"
+
+        def pct(v):
+            return f"{v:>9.1%}" if v is not None else f"{'-':>9}"
+
+        # eff_hide: pure hide ratio (fixed costs excluded) — the historic
+        # column; eff_slvr: solver.run's measured definition
+        # 1 - (over-nocomm)/(bulk-nocomm), the BASELINE.json gate metric
         print(f"{P:>4} {shard_rate:>10.3f} {nface_total / t_bulk / 1e9:>10.2f} "
               f"{nface_total / t_over / 1e9:>13.2f} "
-              f"{base / t_over:>8.2f} {eff_s}")
+              f"{base / t_over:>8.2f} {pct(r['eff_hide'])} "
+              f"{pct(r['eff_solverdef'])}")
     return 0
 
 
