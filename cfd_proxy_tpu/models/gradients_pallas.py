@@ -165,9 +165,11 @@ class GreenGaussPallas:
         meta_dtype: str = "float32",
         src_dtype: str = "float32",
         min_phases: int = 1,
+        fake_sends: int = 0,
         kcompact: bool | None = None,
         halo_dtype: str = "float32",
         grad_dtype: str = "float32",
+        overlap_debug: str | None = None,
     ):
         if interpret is None:
             # Mosaic compiles only for TPU; interpret elsewhere (CPU tests)
@@ -243,6 +245,20 @@ class GreenGaussPallas:
         self.grad_dtype = grad_dtype
         self._grad_jnp = (jnp.bfloat16 if grad_dtype == "bfloat16"
                           else jnp.float32)
+        # overlap_debug ("nobar"/"nodma"): fixed-cost attribution knobs for
+        # the fused RDMA kernel (ops/blocksweep.py::sweep_blocks_overlap) —
+        # P=1 self-send TIMING ONLY.  nobar is semantically sound at P=1
+        # (sender==receiver needs no readiness barrier); nodma leaves the
+        # recv buffers zero.  Gated to one shard so a multi-chip run can
+        # never silently race.
+        check(overlap_debug in (None, "nobar", "nodma", "plain",
+                                "splitgraph", "nopack", "noscatter",
+                                "packdep", "packslice", "packflat"),
+              "unknown overlap_debug %r", overlap_debug)
+        check(overlap_debug is None or len(parts) == 1,
+              "overlap_debug is a P=1 timing-only knob (got %d shards)",
+              len(parts))
+        self.overlap_debug = overlap_debug
         check(nvar <= NV, "nvar %d > padded NV %d", nvar, NV)
         # the flux kernel reads var[:3] as the velocity vector; with fewer
         # vars the padded zero rows would silently stand in for velocity
@@ -303,7 +319,14 @@ class GreenGaussPallas:
         topo = build_halo_topology(self.parts, npoint_pad,
                                    slice_size=slice_size)
         self.topology = topo
-        lay = build_tlayout(self.parts, topo, bp=bp, min_phases=min_phases)
+        # fake_sends: benchmark-only real-payload self-send phases (see
+        # tlayout docstring) — makes P>1-shaped exchange fixed costs
+        # (gather-mode pack, multi-phase RDMA) measurable on ONE chip.
+        # Kept on self: verify_model compares owned columns only for these
+        # models (fake ghost regions legitimately differ per schedule)
+        self.fake_sends = int(fake_sends)
+        lay = build_tlayout(self.parts, topo, bp=bp, min_phases=min_phases,
+                            fake_sends=fake_sends)
         self.layout = lay
 
         if devices is None:
@@ -392,6 +415,44 @@ class GreenGaussPallas:
         self._pack_scale = put(pack_scale.astype(np.float32))
         self._dsts = put(lay.dsts)
         self._srcs = put(lay.srcs)
+        # Per-phase HOST-decided pack lowering.  XLA's axis-1 take on the
+        # Pallas-produced gradient array is expensive two ways (measured,
+        # 390k pts P=1): the slice_sizes={rows,1} gather forces a full
+        # transposed {0,1} copy of the 12 MB operand EVERY iteration
+        # (~31 us — visible as copy.9 in the optimized HLO), and the
+        # transpose-free {1,1} point-gather serializes per ELEMENT
+        # (~10 ns/elt → ~31 us for rows×s_max=3k).  dynamic_slice has
+        # neither cost (paired overlap-vs-early collapsed 3.06x → 1.05x
+        # with null 1.05).  So each phase picks, at model build:
+        #   "zero"   — every shard's mask is empty (tlayout's padded
+        #              self-send phases): the payload is exact zeros;
+        #              emit the constant, skip the gather entirely
+        #   "slice"  — every active shard's send list is a contiguous
+        #              ascending run occupying a prefix of the lanes:
+        #              dynamic_slice at sidx[k][0] (masked tail lanes
+        #              read neighboring columns, zeroed by the scale)
+        #   "gather" — general case: keep the take (at real P>1 the
+        #              transposed copy CSEs across phases, beating the
+        #              per-element point-gather for nph*s_max > ~3k)
+        sidx_h, mask_h = lay.send_idx, lay.send_mask
+        modes = []
+        for k in range(lay.nphases):
+            if mask_h[:, k].sum() == 0:
+                modes.append("zero")
+                continue
+            ok = True
+            for p in range(len(parts)):
+                act = mask_h[p, k] > 0
+                n = int(act.sum())
+                if n == 0:
+                    continue            # idle shard: any slice, scale 0
+                run = sidx_h[p, k, :n]
+                if (not act[:n].all() or not (np.diff(run) == 1).all()
+                        or int(run[0]) + lay.s_max > lay.ndev):
+                    ok = False
+                    break
+            modes.append("slice" if ok else "gather")
+        self._pack_modes = tuple(modes)
         # any phase with a real transfer? → the fused RDMA overlap kernel is
         # meaningful; otherwise overlap degrades to the early graph.
         # force_rdma keeps the fused kernel even with no real transfers: the
@@ -582,6 +643,30 @@ class GreenGaussPallas:
             wks=self._wks[cls], out_dtype=self._grad_jnp,
         )
 
+    def _pack_buf(self, k, g, idx_k, scale_k, dtype=None):
+        """Phase k's packed send payload under the host-decided pack mode
+        (see the _pack_modes note in __init__).  scale_k carries the mask
+        (zeros on pad lanes), so the slice mode's over-read tail lanes and
+        the zero mode's constant are exact.  dtype: wire precision (None =
+        keep the multiply's dtype)."""
+        lay = self.layout
+        mode = self._pack_modes[k]
+        if mode == "zero":
+            out_dt = dtype if dtype is not None else jnp.promote_types(
+                g.dtype, scale_k.dtype)
+            return jnp.zeros((g.shape[0], lay.s_max), out_dt)
+        if mode == "slice":
+            buf = jax.lax.dynamic_slice(
+                g, (jnp.int32(0), idx_k[0].astype(jnp.int32)),
+                (g.shape[0], lay.s_max))
+        else:
+            buf = jnp.take(g, idx_k, axis=1)
+        buf = buf * scale_k[None, :]
+        if dtype is not None and buf.dtype != dtype:
+            buf = buf.astype(dtype)         # pack-time cast: bytes halve on
+                                            # the wire, unpack upcasts
+        return buf
+
     def _exchange_start(self, g, send_idx, send_mask, dtype=None):
         """dtype: wire precision of the payload (None = carrier dtype).  The
         GRADIENT exchange passes self._halo_jnp (--halo-dtype); the VAR
@@ -592,10 +677,7 @@ class GreenGaussPallas:
                 bufs.append(None)
                 continue
             # mask pad lanes so ghost-region padding is deterministic zeros
-            buf = jnp.take(g, send_idx[k], axis=1) * send_mask[k][None, :]
-            if dtype is not None and buf.dtype != dtype:
-                buf = buf.astype(dtype)     # pack-time cast: bytes halve on
-                                            # the wire, unpack upcasts
+            buf = self._pack_buf(k, g, send_idx[k], send_mask[k], dtype=dtype)
             bufs.append(jax.lax.ppermute(buf, AXIS, list(perm)))
         return bufs
 
@@ -639,34 +721,97 @@ class GreenGaussPallas:
                     # boundary sums are UNSCALED; apply 1/V at pack time
                     # (then the --halo-dtype wire cast, if any)
                     def pack(k):
-                        buf = jnp.take(gb, sidx[k], axis=1) * pscale[k][None, :]
-                        return buf.astype(self._halo_jnp)
+                        # host-decided zero/slice/gather lowering per phase
+                        # (_pack_modes) — the naive axis-1 take costs ~63 us
+                        # per iteration at P=1 (transposed-copy + serial
+                        # gather; see __init__ note)
+                        return self._pack_buf(k, gb, sidx[k], pscale[k],
+                                              dtype=self._halo_jnp)
 
                     dcn_out = {k: jax.lax.ppermute(pack(k), AXIS,
                                                    list(lay.perms[k]))
                                for k in dcn}
-                    sendbufs = jnp.stack([pack(k) for k in ici])
+                    if self.overlap_debug == "nopack":
+                        # attribution rung: constant sendbufs — removes the
+                        # take-from-gb pack and the stack from the graph
+                        sendbufs = jnp.zeros(
+                            (len(ici), out_rows(self.op), lay.s_max),
+                            self._halo_jnp)
+                    elif self.overlap_debug == "packdep":
+                        # attribution rung: constant buffer + ONE scalar read
+                        # of gb — keeps the boundary→pack→kernel serial
+                        # dependence, removes the gather/mul/stack work
+                        sendbufs = (jnp.zeros(
+                            (len(ici), out_rows(self.op), lay.s_max),
+                            self._halo_jnp)
+                            + (gb[0, 0] * 1e-30).astype(self._halo_jnp))
+                    elif self.overlap_debug == "packflat":
+                        # candidate fix: point-gather formulation — 2D
+                        # advanced indexing lowers to slice_sizes={1,1}
+                        # gather, which has no preferred operand layout, so
+                        # XLA needs no 12MB transposed copy of gb (the cost
+                        # the {24,1}-slice gather pays; see copy.9 note)
+                        ridx = jnp.arange(gb.shape[0],
+                                          dtype=jnp.int32)[:, None]
+                        sendbufs = jnp.stack([
+                            (gb[ridx, sidx[k][None, :]]
+                             * pscale[k][None, :]).astype(self._halo_jnp)
+                            for k in ici])
+                    elif self.overlap_debug == "packslice":
+                        # attribution rung: contiguous dynamic_slice instead
+                        # of the 128-index take — same dependence, same
+                        # mul/cast/stack, no gather lowering
+                        sendbufs = jnp.stack([
+                            (jax.lax.dynamic_slice(
+                                gb, (0, 0), (gb.shape[0], lay.s_max))
+                             * pscale[k][None, :]).astype(self._halo_jnp)
+                            for k in ici])
+                    else:
+                        sendbufs = jnp.stack([pack(k) for k in ici])
+                    # (an optimization_barrier pinning the packs before the
+                    # fused kernel was measured a no-op here — paired 3.06x
+                    # vs early with or without; XLA inserts no donation copy
+                    # for gb despite the pack reading it)
                     sel = np.asarray(ici, np.int32)
                     ep, ks, nb = self._dims["interior"]
                     pa = dict(_sq(pi))
                     pa["srcs" if self.packed else "exts"] = e_i[0]
-                    g, recv = sweep_blocks_overlap(
-                        v, pa, bp=self.bp, ep=ep, kslots=ks, nblocks=nb,
-                        init=gb, sendbufs=sendbufs, dsts=dsts[0][sel],
-                        srcs=srcs[0][sel],
-                        interpret=self.interpret, op=self.op,
-                        packed=self.packed, src_format=self.src_format,
-                        wks=self._wks["interior"],
-                        out_dtype=self._grad_jnp,
-                    )
-                    for j, k in enumerate(ici):
-                        g = jax.lax.dynamic_update_slice(
-                            g, recv[j].astype(g.dtype),
-                            (0, lay.ghost_start + k * lay.s_max))
-                    for k in dcn:
-                        g = jax.lax.dynamic_update_slice(
-                            g, dcn_out[k].astype(g.dtype),
-                            (0, lay.ghost_start + k * lay.s_max))
+                    if self.overlap_debug == "splitgraph":
+                        # attribution rung: the overlap STEP BODY with the
+                        # ordinary sweep_blocks call instead of the fused
+                        # kernel — at P=1 all-self phases recv == sendbufs,
+                        # so this is semantically exact and isolates the
+                        # fused pallas_call's operand-structure cost from
+                        # the surrounding graph
+                        g = self._sweep("interior", v, e_i[0], _sq(pi),
+                                        init=gb)
+                        recv = sendbufs
+                    else:
+                        g, recv = sweep_blocks_overlap(
+                            v, pa, bp=self.bp, ep=ep, kslots=ks, nblocks=nb,
+                            init=gb, sendbufs=sendbufs, dsts=dsts[0][sel],
+                            srcs=srcs[0][sel],
+                            interpret=self.interpret, op=self.op,
+                            packed=self.packed, src_format=self.src_format,
+                            wks=self._wks["interior"],
+                            out_dtype=self._grad_jnp,
+                            # nopack/noscatter are step-BODY rungs; the
+                            # kernel itself runs in full production form
+                            debug=(self.overlap_debug
+                                   if self.overlap_debug in
+                                   ("nobar", "nodma", "plain") else None),
+                        )
+                    if self.overlap_debug != "noscatter":
+                        # (noscatter: attribution rung — skip the ghost-
+                        # region update slices; ghosts stay stale)
+                        for j, k in enumerate(ici):
+                            g = jax.lax.dynamic_update_slice(
+                                g, recv[j].astype(g.dtype),
+                                (0, lay.ghost_start + k * lay.s_max))
+                        for k in dcn:
+                            g = jax.lax.dynamic_update_slice(
+                                g, dcn_out[k].astype(g.dtype),
+                                (0, lay.ghost_start + k * lay.s_max))
                 else:  # early (or overlap with no comm / no ICI phase —
                        # a pure-DCN topology has nothing for the fused
                        # in-kernel RDMA path to carry)

@@ -703,6 +703,23 @@ def sweep_blocks_overlap(
     src_format: str = "f32",
     wks: tuple[int, ...] | None = None,  # COMPACT prefix widths (packed only)
     out_dtype=jnp.float32,           # grad store dtype (see sweep_blocks)
+    debug: str | None = None,        # fixed-cost attribution knobs (P=1
+                                     # self-send timing ONLY — results are
+                                     # wrong/unsynchronized at P>1):
+                                     # "nobar" skips the readiness barrier
+                                     # (collective_id dropped — correct at
+                                     # P=1 where sender==receiver);
+                                     # "nodma" also skips the RDMA
+                                     # start/waits (recv stays its zero
+                                     # alias — measures the fused kernel's
+                                     # own structural cost);
+                                     # "plain" strips the kernel to a bare
+                                     # pallas_call — no semaphore scratch,
+                                     # no has_side_effects, no collective
+                                     # machinery at all; only the operand
+                                     # set and the two aliased outputs
+                                     # remain (bisects operand/alias cost
+                                     # from the side-effect/scratch cost)
 ) -> tuple[jax.Array, jax.Array]:
     """FUSED interior sweep + one-sided halo push — the GASPI analogue.
 
@@ -728,6 +745,12 @@ def sweep_blocks_overlap(
                                                src_format, wks)
     else:
         compute_gather = _block_compute(bp, ep, kslots, True, op, wks)
+
+    check(debug in (None, "nobar", "nodma", "plain"),
+          "unknown overlap debug mode %r", debug)
+    do_bar = debug is None
+    do_dma = debug in (None, "nobar")
+    plain = debug == "plain"
 
     def body(dsts_ref, srcs_ref, send_ref, recv_ref, send_sems, recv_sems,
              run_compute):
@@ -757,25 +780,44 @@ def sweep_blocks_overlap(
             # of its own RECEIVERS said so.  Self-sends balance the count.
             # (Compiled mode only: the interpreter cannot lower
             # get_barrier_semaphore and synchronizes collectives itself.)
-            if not interpret:
+            if do_bar and not interpret:
                 barrier = pltpu.get_barrier_semaphore()
                 for k in range(nph):
                     pltpu.semaphore_signal(
                         barrier, inc=1, device_id=srcs_ref[k],
                         device_id_type=pltpu.DeviceIdType.LOGICAL)
                 pltpu.semaphore_wait(barrier, nph)
-            for k in range(nph):
-                rdma(k).start()
+            if do_dma:
+                for k in range(nph):
+                    rdma(k).start()
 
         run_compute()
 
         @pl.when(i == n - 1)
         def _():
-            for k in range(nph):
-                rdma(k).wait_send()
-                rdma(k).wait_recv()
+            if do_dma:
+                for k in range(nph):
+                    rdma(k).wait_send()
+                    rdma(k).wait_recv()
 
-    if packed:
+    if plain:
+        # bare pallas_call: same operands/aliases, no scratch, no collective
+        # machinery — the fixed-cost bisection's "operand structure only" rung
+        if packed:
+            def kernel(bids_ref, dsts_ref, srcs_ref, own_ref, src_ref,
+                       sw_ref, scale_ref, send_ref, init_ref, rinit_ref,
+                       out_ref, recv_ref):
+                del dsts_ref, srcs_ref, send_ref, rinit_ref, recv_ref
+                compute_packed(own_ref, src_ref, sw_ref, scale_ref,
+                               init_ref, out_ref)
+        else:
+            def kernel(bids_ref, dsts_ref, srcs_ref, own_ref, ext_ref,
+                       sidx_ref, sw_ref, scale_ref, send_ref, init_ref,
+                       rinit_ref, out_ref, recv_ref):
+                del dsts_ref, srcs_ref, send_ref, rinit_ref, recv_ref
+                compute_gather(own_ref, ext_ref, sidx_ref, sw_ref,
+                               scale_ref, init_ref, out_ref)
+    elif packed:
         def kernel(bids_ref, dsts_ref, srcs_ref, own_ref, src_ref, sw_ref,
                    scale_ref, send_ref, init_ref, rinit_ref,
                    out_ref, recv_ref, send_sems, recv_sems):
@@ -843,10 +885,10 @@ def sweep_blocks_overlap(
         grid=(nblocks,),
         in_specs=in_specs,
         out_specs=out_specs,
-        scratch_shapes=[
+        scratch_shapes=([] if plain else [
             pltpu.SemaphoreType.DMA((nph,)),
             pltpu.SemaphoreType.DMA((nph,)),
-        ],
+        ]),
     )
     args = (var_T, *tbl_args, plan_arrays["slot_w"], plan_arrays["scale"],
             sendbufs, init, jnp.zeros(sendbufs.shape, sendbufs.dtype))
@@ -864,9 +906,12 @@ def sweep_blocks_overlap(
         input_output_aliases={n_ops - 2: 0, n_ops - 1: 1},
         # collective_id is required by (and only valid with) the
         # get_barrier_semaphore readiness barrier above — Mosaic rejects it
-        # for kernels without a custom barrier (hardware-verified)
-        compiler_params=pltpu.CompilerParams(
-            has_side_effects=True, collective_id=7),
+        # for kernels without a custom barrier (hardware-verified), so the
+        # debug modes that drop the barrier must drop it too
+        compiler_params=(pltpu.CompilerParams(
+            has_side_effects=True, collective_id=7) if do_bar
+            else None if plain
+            else pltpu.CompilerParams(has_side_effects=True)),
         interpret=interpret,
     )(plan_arrays["block_ids"], dsts, srcs, *args)
     return grad, recv

@@ -69,12 +69,21 @@ class TLayout:
 
 def build_tlayout(
     parts: list[MeshPartition], topo: HaloTopology, *, bp: int = 256,
-    min_phases: int = 1,
+    min_phases: int = 1, fake_sends: int = 0,
 ) -> TLayout:
     """min_phases: pad the schedule with extra self-send phases (each is a
     full self-permutation of masked zeros) — used to exercise the fused RDMA
     kernel's multi-phase semaphore arrays on a single real chip, where the
-    natural phase count is 1."""
+    natural phase count is 1.
+
+    fake_sends: BENCHMARK-ONLY — give each PADDED phase a real payload: the
+    first min(fake_sends, nowned) owned columns in a shuffled order
+    (deterministic, receiver-ordered-like: defeats the contiguous-run pack
+    mode), mask 1, self-permutation.  The self-send lands in the phase's
+    reserved ghost region, which no face references, so owned results are
+    unchanged (tested) — but pack/transfer/unpack now move REAL multi-phase
+    payloads on a single chip, making P>1 exchange fixed costs (the
+    "gather"-mode pack above all) measurable without multi-chip hardware."""
     P = len(parts)
     # positional identity, mirrored from build_halo_topology: locmap,
     # send_idx rows and ph.recv_idx are all indexed by position, so a list
@@ -84,8 +93,11 @@ def build_tlayout(
         check(pt.part_id == i,
               "parts out of order: index %d holds part_id %d", i, pt.part_id)
     owned_pad = round_up(max(p.nowned for p in parts), bp)
-    s_max = round_up(max(topo.max_phase_size(), 1), LANE)
     nphases = max(topo.nphases, 1, int(min_phases))
+    smax_req = max(topo.max_phase_size(), 1)
+    if fake_sends > 0 and nphases > topo.nphases:
+        smax_req = max(smax_req, int(fake_sends))
+    s_max = round_up(smax_req, LANE)
     # +bp: a dedicated trailing TRASH block that no real point maps to — the
     # safe target for padded grid entries (revisiting a real block from a pad
     # entry races with pipelined block prefetch)
@@ -128,8 +140,22 @@ def build_tlayout(
             valid = recv < topo.npoint_pad            # OOB marker = pad
             pos = np.flatnonzero(valid)
             locmap[d][recv[pos]] = owned_pad + k * s_max + pos
+    npad_start = len(perms)
     while len(perms) < nphases:
-        perms.append(())
+        # fake_sends: padded phases become full SELF-permutations carrying a
+        # real payload (see docstring); otherwise inert empty perms
+        perms.append(tuple((d, d) for d in range(P)) if fake_sends > 0
+                     else ())
+    if fake_sends > 0:
+        rng = np.random.default_rng(7)
+        for k in range(npad_start, nphases):
+            for p_i, pt in enumerate(parts):
+                n = min(int(fake_sends), pt.nowned)
+                # shuffled owned columns: receiver-ordered-like index set
+                # (defeats the contiguous-run pack mode by construction)
+                send_idx[p_i, k, :n] = rng.permutation(
+                    pt.nowned)[:n].astype(np.int32)
+                send_mask[p_i, k, :n] = 1.0
     # phases beyond the real schedule (e.g. the padded phase of a comm-free
     # mesh) still need a full self-permutation: the completion inside the
     # loop above only covers real phases

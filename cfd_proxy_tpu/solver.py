@@ -66,6 +66,17 @@ class SolverConfig:
                                     # payloads on the wire (pack-time cast,
                                     # unpack upcast); ghost gradients carry
                                     # a ~4e-3 rel bound, owned untouched
+    overlap_debug: str | None = None    # fused-RDMA fixed-cost attribution
+                                        # (nobar|nodma|...) — P=1 timing
+                                        # only; see sweep_blocks_overlap
+    min_phases: int = 1         # pad the exchange schedule to this many
+                                # phases (self-sends) — multi-phase RDMA
+                                # machinery on one chip
+    fake_sends: int = 0         # benchmark-only: padded phases carry REAL
+                                # shuffled-owned payloads of this many
+                                # lanes (self-sends; owned results
+                                # unchanged) — measures P>1-shaped pack/
+                                # exchange fixed costs on one chip
     grad_dtype: str = "float32"     # bfloat16 stores the gradient planes
                                     # (the largest remaining f32 stream) in
                                     # bf16: ~5.6% paired win on top of the
@@ -137,7 +148,10 @@ def build_model(cfg: SolverConfig):
                                  src_dtype=cfg.src_dtype,
                                  kcompact=cfg.kcompact,
                                  halo_dtype=cfg.halo_dtype,
-                                 grad_dtype=cfg.grad_dtype)
+                                 grad_dtype=cfg.grad_dtype,
+                                 overlap_debug=cfg.overlap_debug,
+                                 min_phases=cfg.min_phases,
+                                 fake_sends=cfg.fake_sends)
     else:
         if cfg.model != "gg":
             raise SystemExit("--model flux requires --backend pallas")
@@ -361,12 +375,21 @@ def verify_model(model, var, schedules, gmesh, gvar) -> dict:
         # — skip the bulk single-step compile (~minutes cold on this stack)
         return out
     ref = model.step(var, "bulk")
+    # fake-send phases (benchmark-only) legitimately desynchronize the FAKE
+    # ghost regions across schedules: bulk packs real scaled gradients at
+    # the fake points while early/overlap pack boundary-sweep zeros there
+    # (the fake points are not boundary points).  Owned columns — the
+    # result — still must agree bitwise, so compare those only.
+    ncmp = ref.shape[-1]
+    if getattr(model, "fake_sends", 0) > 0:
+        ncmp = model.layout.owned_pad
     for s in schedules:
         if s == "bulk":
             continue
         g = model.step(var, s)
         # reduce on device, pull one scalar (bulk device→host is slow on axon)
-        out[f"{s}_vs_bulk_maxabs"] = float(jnp.abs(g - ref).max())
+        out[f"{s}_vs_bulk_maxabs"] = float(
+            jnp.abs(g[..., :ncmp] - ref[..., :ncmp]).max())
     small_enough = ref.size < 20_000_000
     if gmesh is not None and small_enough:
         if getattr(model, "op", "gg") == "flux":
@@ -475,6 +498,14 @@ def main(argv=None) -> int:
                          "state update + var halo exchange + source-table "
                          "rebuild) instead of the proxy's static-state "
                          "iteration (pallas backend)")
+    ap.add_argument("--min-phases", type=int, default=1,
+                    help="pad the exchange schedule to this many self-send "
+                         "phases (multi-phase RDMA machinery on one chip)")
+    ap.add_argument("--fake-sends", type=int, default=0,
+                    help="benchmark-only: padded phases carry REAL shuffled-"
+                         "owned payloads of this many lanes (self-sends; "
+                         "owned results unchanged) — measures P>1-shaped "
+                         "pack/exchange fixed costs on one chip")
     ap.add_argument("--no-verify", action="store_true")
     ap.add_argument("--json", action="store_true", help="emit one JSON line")
     ap.add_argument("--profile", dest="profile_dir", default=None,
@@ -507,6 +538,7 @@ def main(argv=None) -> int:
         iters=args.iters, warmup=args.warmup, schedule=args.schedule,
         backend=args.backend, model=args.model, kernel=args.kernel,
         force_rdma=args.force_rdma, slice_size=args.slice_size,
+        min_phases=args.min_phases, fake_sends=args.fake_sends,
         meta_dtype=args.meta_dtype, src_dtype=args.src_dtype,
         halo_dtype=args.halo_dtype,
         grad_dtype=args.grad_dtype,

@@ -43,6 +43,7 @@ from cfd_proxy_tpu.utils.timing import two_point_sampler
 _MODEL_FIELDS = (
     "model", "nvar", "bp", "kernel", "force_rdma", "slice_size",
     "meta_dtype", "src_dtype", "kcompact", "halo_dtype", "grad_dtype",
+    "overlap_debug", "min_phases", "fake_sends",
 )
 
 # fields the per-side DRIVE honors (sampler schedule/mode, state seed).
@@ -111,7 +112,8 @@ def _build(cfg: SolverConfig, parts):
         force_rdma=cfg.force_rdma, slice_size=cfg.slice_size,
         meta_dtype=cfg.meta_dtype, src_dtype=cfg.src_dtype,
         kcompact=cfg.kcompact, halo_dtype=cfg.halo_dtype,
-        grad_dtype=cfg.grad_dtype,
+        grad_dtype=cfg.grad_dtype, overlap_debug=cfg.overlap_debug,
+        min_phases=cfg.min_phases, fake_sends=cfg.fake_sends,
     )
 
 

@@ -482,3 +482,53 @@ def test_min_phases_multi_self_send(mesh, gvar):
     gb = np.asarray(plain.step(plain.distribute_state(gvar), "overlap"))
     n = multi.layout.owned_pad
     np.testing.assert_array_equal(ga[:, :, :n], gb[:, :, :n])
+
+
+def test_pack_mode_dispatch_matches_gather(mesh, gvar):
+    """The host-decided per-phase pack lowering (zero/slice/gather — the
+    fix for XLA's ~63 us/iter axis-1 take on Pallas outputs: a transposed
+    full copy of the gradient array plus a serial element gather) is
+    value-identical to the uniform take: forcing every phase to "gather"
+    must reproduce the dispatched step bitwise, for every schedule."""
+    parts = partition_mesh(mesh, 4, ghost_layers=1)
+    model = GreenGaussPallas(parts, NVAR, bp=128, interpret=True)
+    assert "gather" in model._pack_modes  # real comm phases exercise take
+    state = model.distribute_state(gvar)
+    ref = {s: np.asarray(model.step(state, s)) for s in ("bulk", "early",
+                                                         "overlap")}
+    forced = GreenGaussPallas(parts, NVAR, bp=128, interpret=True)
+    forced._pack_modes = tuple("gather" for _ in forced._pack_modes)
+    fstate = forced.distribute_state(gvar)
+    for s, r in ref.items():
+        np.testing.assert_array_equal(np.asarray(forced.step(fstate, s)), r)
+
+
+def test_pack_mode_zero_for_forced_self_send(mesh, gvar):
+    """tlayout's padded self-send phases carry masked zeros; the dispatcher
+    must classify them "zero" (the P=1 force_rdma hardware-smoke config then
+    packs a constant — the measured-fast production graph)."""
+    parts = partition_mesh(mesh, 1)
+    forced = GreenGaussPallas(parts, NVAR, bp=128, interpret=True,
+                              force_rdma=True)
+    assert all(m == "zero" for m in forced._pack_modes)
+
+
+def test_fake_sends_semantics_inert(mesh, gvar):
+    """--fake-sends gives padded self-send phases REAL shuffled-owned
+    payloads (the P>1-shaped pack/exchange fixed-cost measurement knob);
+    the payload lands in reserved ghost regions no face references, so
+    owned results must be bitwise those of the plain model, and the phases
+    must classify as "gather" (the mode whose cost it measures)."""
+    parts = partition_mesh(mesh, 1)
+    plain = GreenGaussPallas(parts, NVAR, bp=128, interpret=True)
+    fake = GreenGaussPallas(parts, NVAR, bp=128, interpret=True,
+                            force_rdma=True, min_phases=4, fake_sends=256)
+    assert fake._pack_modes == ("gather",) * 4
+    assert fake.layout.s_max == 256
+    n = parts[0].nowned
+    fs = fake.distribute_state(gvar)
+    ps = plain.distribute_state(gvar)
+    for s in ("bulk", "early", "overlap"):
+        np.testing.assert_array_equal(
+            np.asarray(fake.step(fs, s))[:, :, :n],
+            np.asarray(plain.step(ps, s))[:, :, :n])
