@@ -105,9 +105,9 @@ def _compact(o: dict) -> dict:
             if isinstance(v, dict) and "bulk_gfps" in v:
                 m[k] = [v.get("bulk_gfps"), v.get("overlap_gfps"),
                         v.get("eff_hide"), v.get("eff_solverdef")]
-        sens = mc.get("strong_P8_eff_solverdef_vs_overlap_fixed_us")
+        sens = mc.get("strong_P8_eff_solverdef_vs_pack_ns_per_col")
         if sens:
-            m["effS_P8_vs_fixed_us"] = sens
+            m["effS_P8_vs_pack_ns"] = sens
         c["mc_model"] = m
     if o.get("node_est_faces_per_sec") is not None:
         c["node"] = {
@@ -428,8 +428,16 @@ def main() -> int:
                 shard_geometry)
 
             rt = RATE_TABLES["f32"]
-            kw = dict(overlap_fixed_us=70.0, bulk_fixed_us=70.0,
-                      halo_bytes=4)
+            # round-4 MEASURED decomposition (BASELINE.md fake-phase rungs,
+            # P8-shaped payloads on the real chip): the pack/unpack chain is
+            # ~5 us base + 1.7 ns per gathered column for BOTH schedules
+            # (exposed everywhere — one compute core), and the fused RDMA
+            # machinery adds ~3 us over ppermute (barrier + DMAs + scatter
+            # measured +7 us total vs sweep-only, −small ppermute base).
+            # Replaces round 3's flat 70/70 which conflated chain and
+            # transport.
+            kw = dict(overlap_fixed_us=8.0, bulk_fixed_us=5.0,
+                      pack_ns_per_col=1.7, halo_bytes=4)
 
             def row(geo, ici, table):
                 r = eval_geometry(geo, None, ici, 24, rate_table=table, **kw)
@@ -451,21 +459,27 @@ def main() -> int:
             # between the strong-P8 model and the >=85% gate (VERDICT r3
             # item 2c): eff_solverdef at the strong-P8 config vs the fused
             # kernel's fixed cost
+            # gate sensitivity to the pack rate — the ONE term standing
+            # between the model and the >=85% eff_solverdef gate (the
+            # measured XLA windowed gather is 1.7 ns/col vs wire 2.1 ns/col
+            # at 45 GB/s; 0 = the designed-but-unbuilt segment-RDMA path
+            # that sends straight out of the gradient array)
             sens = {}
-            for fu in (0, 35, 70, 140):
+            for pn in (0.0, 0.85, 1.7, 3.4):
                 r = eval_geometry(geo8, None, V5E_ICI_GBPS, 24,
-                                  rate_table=rt, overlap_fixed_us=fu,
-                                  bulk_fixed_us=70.0)
-                sens[str(fu)] = r["eff_solverdef"]
+                                  rate_table=rt, overlap_fixed_us=8.0,
+                                  bulk_fixed_us=5.0, pack_ns_per_col=pn)
+                sens[str(pn)] = r["eff_solverdef"]
             block = {
                 "note": "MODEL not measurement (single-chip sandbox); "
-                        "rate table + 70us fixed costs measured; ICI "
-                        "45 (v5e) / 90 (v5p) GB/s wire specs, icibench "
-                        "brackets from above.  eff_solverdef = what "
-                        "solver.run would measure (gate metric); eff_hide "
-                        "= pure hide ratio",
+                        "rate table measured; chain = 5us + 1.7ns/col and "
+                        "overlap extra +3us MEASURED via fake-phase rungs "
+                        "(BASELINE.md round 4); ICI 45 (v5e) / 90 (v5p) "
+                        "GB/s wire specs, icibench brackets from above. "
+                        "eff_solverdef = what solver.run would measure "
+                        "(gate metric); eff_hide = pure hide ratio",
                 **rows,
-                "strong_P8_eff_solverdef_vs_overlap_fixed_us": sens,
+                "strong_P8_eff_solverdef_vs_pack_ns_per_col": sens,
             }
             if os.environ.get("BENCH_NORTHSTAR", "1") != "0":
                 # the BASELINE.json target config (VERDICT r3 item 2a): a

@@ -284,7 +284,8 @@ def degree_sort_order(deg: np.ndarray, block: int,
 
 
 def rcb_owned_order(part: MeshPartition, *, block: int = 256,
-                    degree_sort: bool = False) -> np.ndarray:
+                    degree_sort: bool = False,
+                    comm_first: bool = True) -> np.ndarray:
     """RCB-based locality permutation for the owned points (new id of old).
 
     degree_sort=True additionally stable-sorts points by incidence count
@@ -296,11 +297,28 @@ def rcb_owned_order(part: MeshPartition, *, block: int = 256,
     inert padding slots of a valence-skewed mesh drop out of the two
     dominant kernel streams.  (The round-2 alternative — a global
     degree-class relabel — exploded ext lists ~5× and was reverted;
-    in-block sorting cannot, by construction.)"""
+    in-block sorting cannot, by construction.)
+
+    comm_first=True (default) places the SEND points — the halo-adjacent set
+    every exchange packs — at the FRONT of the order, RCB-sorted within both
+    regions.  The pack gather then reads from a small static window [0, W_c)
+    instead of the whole (rows, ndev) array: XLA's column gather measured
+    1.6 ns/col from a VMEM-sized table vs 3-5 ns/col from the full array,
+    and the window is uniform across shards (SPMD-clean).  At P=1 there are
+    no sends, so this is the identity and the single-chip headline is
+    untouched.  Comm-region blocks lose a little in-block RCB locality for
+    their ext lists; sends are a few percent of points."""
     nowned = part.nowned
     nblk = max(1, nowned // block)
     blk = rcb_assign(part.coords[:nowned], nblk)
     order = np.argsort(blk, kind="stable")     # old ids in new order
+    if comm_first:
+        sp = send_point_set(part)
+        if sp.size:
+            is_send = np.zeros(nowned, dtype=bool)
+            is_send[sp] = True
+            sel = is_send[order]
+            order = np.concatenate([order[sel], order[~sel]])
     if degree_sort:
         deg = np.bincount(part.faces.ravel(), minlength=part.npoint)[:nowned]
         return degree_sort_order(deg, block, base_order=order)

@@ -53,6 +53,7 @@ from cfd_proxy_tpu.ops.blocksweep import (
 )
 from cfd_proxy_tpu.parallel.schedules import SCHEDULES
 from cfd_proxy_tpu.parallel.tlayout import (
+    LANE,
     build_tlayout,
     device_faces,
     device_inv_scale,
@@ -453,6 +454,27 @@ class GreenGaussPallas:
                     break
             modes.append("slice" if ok else "gather")
         self._pack_modes = tuple(modes)
+        # truthful gather hints: since the topology-level pair sort, real
+        # phases' send lists are ascending and tlayout pads repeat the last
+        # index — if every shard's full lane vector is non-decreasing, the
+        # pack gather may carry indices_are_sorted (strictly ascending
+        # active prefixes are also unique, but the repeated padding isn't,
+        # so unique_indices stays False)
+        self._pack_sorted = tuple(
+            bool((np.diff(sidx_h[:, k].astype(np.int64), axis=1) >= 0).all())
+            for k in range(lay.nphases))
+        # static gather window: the comm-first relabel (rcb_owned_order)
+        # packs send points at the FRONT of the owned order, so every
+        # gather-mode pack can read a small [0, W_c) slice instead of the
+        # full (rows, ndev) array — XLA's column gather measured 1.6 ns/col
+        # from a VMEM-sized table vs 3-5 ns/col from the full array.
+        # Uniform across shards (SPMD-clean); degenerates to the full array
+        # when sends are not front-packed (old partitions, fake sends drawn
+        # wide)
+        act = lay.send_mask > 0
+        self._pack_window = (int(-(-(int(lay.send_idx[act].max()) + 1)
+                                   // LANE) * LANE)
+                             if act.any() else 0)
         # any phase with a real transfer? → the fused RDMA overlap kernel is
         # meaningful; otherwise overlap degrades to the early graph.
         # force_rdma keeps the fused kernel even with no real transfers: the
@@ -660,7 +682,14 @@ class GreenGaussPallas:
                 g, (jnp.int32(0), idx_k[0].astype(jnp.int32)),
                 (g.shape[0], lay.s_max))
         else:
-            buf = jnp.take(g, idx_k, axis=1)
+            W = self._pack_window
+            tbl = g
+            if 0 < W <= g.shape[1] // 2:
+                # comm-first window: gather from the small front slice the
+                # send points live in (see _pack_window note in __init__)
+                tbl = jax.lax.slice(g, (0, 0), (g.shape[0], W))
+            buf = jnp.take(tbl, idx_k, axis=1,
+                           indices_are_sorted=self._pack_sorted[k])
         buf = buf * scale_k[None, :]
         if dtype is not None and buf.dtype != dtype:
             buf = buf.astype(dtype)         # pack-time cast: bytes halve on

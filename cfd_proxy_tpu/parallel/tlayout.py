@@ -151,11 +151,24 @@ def build_tlayout(
         for k in range(npad_start, nphases):
             for p_i, pt in enumerate(parts):
                 n = min(int(fake_sends), pt.nowned)
-                # shuffled owned columns: receiver-ordered-like index set
-                # (defeats the contiguous-run pack mode by construction)
-                send_idx[p_i, k, :n] = rng.permutation(
-                    pt.nowned)[:n].astype(np.int32)
+                # sorted random subset of the FRONT region — production send
+                # lists are sorted (topology pair sort) and front-packed
+                # (comm-first relabel), so the fake phases mimic the
+                # production gather shape: a small-window gather of
+                # non-contiguous columns (defeats the slice pack mode, keeps
+                # the _pack_window small)
+                width = min(pt.nowned, 3 * n)
+                send_idx[p_i, k, :n] = np.sort(rng.permutation(
+                    width)[:n]).astype(np.int32)
                 send_mask[p_i, k, :n] = 1.0
+    # pad send lanes with the last REAL index (not 0): keeps sorted phases
+    # sorted across the padding, so the pack gather's indices_are_sorted
+    # hint stays truthful; the scale/mask zero the padded values either way
+    for p_i in range(P):
+        for k in range(nphases):
+            n = int((send_mask[p_i, k] > 0).sum())
+            if 0 < n < s_max:
+                send_idx[p_i, k, n:] = send_idx[p_i, k, n - 1]
     # phases beyond the real schedule (e.g. the padded phase of a comm-free
     # mesh) still need a full self-permutation: the completion inside the
     # loop above only covers real phases

@@ -115,8 +115,16 @@ def build_halo_topology(
                 check(back.recvidx.size == e.sendidx.size,
                       "send/recv size mismatch %d->%d", pt.part_id, e.partner)
                 if e.sendidx.size:
-                    edges.append((pt.part_id, e.partner, e.sendidx,
-                                  back.recvidx))
+                    # sort pairs by SENDER index: receiver ghost columns are
+                    # assigned positionally (tlayout) and the XLA unpack
+                    # scatters at recvidx values, so jointly permuting the
+                    # pair order is free — and a monotone send list lets the
+                    # pack gather carry truthful indices_are_sorted/
+                    # unique_indices hints (and keeps it chunk-monotone for
+                    # any future staged pack kernel)
+                    o = np.argsort(e.sendidx, kind="stable")
+                    edges.append((pt.part_id, e.partner, e.sendidx[o],
+                                  back.recvidx[o]))
 
         # greedy edge coloring per transport class: intra-slice (ICI) edges
         # first, inter-slice (DCN) edges into separate later phases.

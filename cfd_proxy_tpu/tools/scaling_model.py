@@ -127,7 +127,8 @@ def shard_geometry(mesh, P, slice_size=None) -> dict:
 
 def eval_geometry(geo: dict, ns_per_face, ici_gbps, rows, *,
                   overlap_fixed_us=0.0, halo_bytes=4, rate_table=None,
-                  bulk_fixed_us=0.0, dcn_gbps=None) -> dict:
+                  bulk_fixed_us=0.0, dcn_gbps=None,
+                  pack_ns_per_col=None) -> dict:
     """Evaluate the schedule time model on a shard_geometry.
 
     Schedule dataflows (per shard; per-chip time = max over shards — the
@@ -145,6 +146,15 @@ def eval_geometry(geo: dict, ns_per_face, ici_gbps, rows, *,
     overlap_fixed_us: the fused kernel's MEASURED per-step fixed cost
     (readiness barrier + per-phase DMA machinery + recv scatter; BASELINE.md
     small-mesh row).  Both apply only when the shard actually exchanges.
+
+    pack_ns_per_col: when set, BOTH schedules additionally pay
+    pack_ns_per_col × (phases × s_max) per step — the MEASURED windowed-
+    gather pack cost (round-4 fake-phase rungs; the pack depends on the
+    boundary output and cannot run concurrently with compute on a TPU core,
+    so it is exposed in every schedule).  With it set, bulk_fixed_us /
+    overlap_fixed_us should carry only the per-schedule BASE machinery
+    (ppermute launches + unpack ≈ 5 us; fused-RDMA machinery ≈ +3 us over
+    that), not the round-3 flat 70 us that conflated chain and transport.
 
     Multi-slice: a geometry built with slice_size carries DCN phase counts;
     those phases are charged at dcn_gbps (sequential ppermutes), mirroring
@@ -176,6 +186,10 @@ def eval_geometry(geo: dict, ns_per_face, ici_gbps, rows, *,
             tc += n_dcn * phase_bytes / ((dcn_gbps or ici_gbps) * 1e9)
         fx = bulk_fixed_us * 1e-6 if (n_ici + n_dcn) else 0.0
         ofx = overlap_fixed_us * 1e-6 if (n_ici + n_dcn) else 0.0
+        if pack_ns_per_col is not None and (n_ici + n_dcn):
+            tp = (n_ici + n_dcn) * geo["s_max"] * pack_ns_per_col * 1e-9
+            fx += tp
+            ofx += tp
         t_bulk = max(t_bulk, ts_all + tc + fx)
         t_over = max(t_over, ts_b + max(ts_i, tc) + ofx)
         t_nc = max(t_nc, ts_all)
@@ -231,14 +245,14 @@ def main(argv=None) -> int:
     ap.add_argument("--halo-bytes", type=int, default=4, choices=[2, 4],
                     help="wire bytes per exchanged value (4 = f32; 2 = the "
                          "--halo-dtype bfloat16 payload option)")
-    ap.add_argument("--overlap-fixed-us", type=float, default=70.0,
-                    help="fused overlap kernel's measured per-step fixed "
-                         "cost (barrier + DMA machinery; BASELINE.md round-3"
-                         " small-mesh row).  The EXPOSED cost shrinks with "
-                         "shard size as it hides under the longer sweep — "
-                         "paired P=1 datapoints: ~70 us at 390k faces, "
-                         "~25 us at 2.8M (mbench row); 70 is the "
-                         "conservative default")
+    ap.add_argument("--overlap-fixed-us", type=float, default=8.0,
+                    help="overlap schedule's per-step BASE machinery cost "
+                         "beyond the shared pack (fused-RDMA barrier + DMA "
+                         "issue + recv scatter).  Round-4 fake-phase rungs "
+                         "measured the full machinery at +7 us vs sweep-"
+                         "only and +3 us vs the ppermute chain at equal "
+                         "P8-shaped payloads (BASELINE.md); the payload-"
+                         "dependent pack lives in --pack-ns-per-col")
     ap.add_argument("--slice-size", type=int, default=None,
                     help="devices per TPU slice (multi-slice deployments): "
                          "inter-slice phases are charged at --dcn-gbps "
@@ -248,15 +262,20 @@ def main(argv=None) -> int:
     ap.add_argument("--dcn-gbps", type=float, default=10.0,
                     help="modeled per-device DCN bandwidth, GB/s (ASSUMED — "
                          "deployment-dependent; only used with --slice-size)")
-    ap.add_argument("--bulk-fixed-us", type=float, default=70.0,
-                    help="bulk schedule's per-step comm fixed cost (the "
-                         "separate pack/exchange/unpack dispatch chain).  "
-                         "Anchored to measurement, not measured directly: "
-                         "icibench reads 50-170 us fixed per DMA kernel and "
-                         "the fused kernel's equivalent machinery measured "
-                         "~70 us; the real bulk chain is >= one such "
-                         "dispatch.  0 restores the old (bulk-flattering) "
-                         "behavior")
+    ap.add_argument("--bulk-fixed-us", type=float, default=5.0,
+                    help="bulk/early schedules' per-step BASE chain cost "
+                         "(ppermute launches + unpack), round-4 measured "
+                         "via fake phases at P8-shaped payloads: total "
+                         "chain 28 us = ~5 us base + 1.7 ns/col pack "
+                         "(BASELINE.md); the payload term lives in "
+                         "--pack-ns-per-col")
+    ap.add_argument("--pack-ns-per-col", type=float, default=1.7,
+                    help="MEASURED pack cost per gathered send column, "
+                         "charged to BOTH schedules (the pack is exposed "
+                         "everywhere — one compute core).  1.7 ns/col = the "
+                         "comm-first windowed XLA gather (round 4); 0 "
+                         "models the designed segment-RDMA path that sends "
+                         "straight out of the gradient array")
     ap.add_argument("--diag-frac", type=float, default=0.2)
     args = ap.parse_args(argv)
 
@@ -275,10 +294,10 @@ def main(argv=None) -> int:
     print(f"# MODEL (not measurement): {mesh.nface} global faces, "
           f"sweep = {rate_s}, {slice_s}"
           f"{args.ici_gbps} GB/s ICI (assumed; icibench upper-bounds it), "
-          f"rows={args.rows}, overlap fixed {args.overlap_fixed_us} us "
-          f"(measured), bulk comm fixed {args.bulk_fixed_us} us "
-          f"(measurement-anchored); faces/sec uses sum-of-shard faces "
-          f"(solver.run)")
+          f"rows={args.rows}, overlap base {args.overlap_fixed_us} us + "
+          f"bulk base {args.bulk_fixed_us} us + pack "
+          f"{args.pack_ns_per_col} ns/col (all measured, round-4 fake-"
+          f"phase rungs); faces/sec uses sum-of-shard faces (solver.run)")
     print(f"{'P':>4} {'shard ns/f':>10} {'bulk Gf/s':>10} "
           f"{'overlap Gf/s':>13} {'speedup':>8} {'eff_hide':>9} "
           f"{'eff_slvr':>9}")
@@ -289,7 +308,8 @@ def main(argv=None) -> int:
             geo, args.ns_per_face, args.ici_gbps, args.rows,
             overlap_fixed_us=args.overlap_fixed_us,
             halo_bytes=args.halo_bytes, rate_table=rate_table,
-            bulk_fixed_us=args.bulk_fixed_us, dcn_gbps=args.dcn_gbps)
+            bulk_fixed_us=args.bulk_fixed_us, dcn_gbps=args.dcn_gbps,
+            pack_ns_per_col=args.pack_ns_per_col)
         nface_total, t_bulk, t_over = r["nface"], r["t_bulk"], r["t_over"]
         if base is None:
             base = t_over
