@@ -263,7 +263,8 @@ def relabel_owned(part: MeshPartition, new_of_old: np.ndarray) -> MeshPartition:
 
 
 def degree_sort_order(deg: np.ndarray, block: int,
-                      base_order: np.ndarray | None = None) -> np.ndarray:
+                      base_order: np.ndarray | None = None,
+                      freeze_prefix: int = 0) -> np.ndarray:
     """In-block degree sort shared by the model relabel and kbench's plans.
 
     Stable-sorts the positions of `base_order` (default: identity) by
@@ -272,11 +273,22 @@ def degree_sort_order(deg: np.ndarray, block: int,
     unchanged while the compact prefix widths (ops/blocksweep.py::
     prefix_widths) become tight.  Returns new_of_old ids.  Kept in ONE place
     because the compact layout's correctness-tightness story depends on the
-    sort key; kbench must measure the exact layout the model builds."""
+    sort key; kbench must measure the exact layout the model builds.
+
+    freeze_prefix: leave the first N positions UNSORTED (the comm region —
+    its signature-group runs must stay contiguous for the segmented pack;
+    rcb_owned_order).  Implemented as a per-position key override so block
+    membership stays positional."""
     n = deg.shape[0]
     order = np.arange(n) if base_order is None else base_order
     pos_blk = np.arange(n) // block        # device-block index by POSITION
-    key = np.lexsort((np.arange(n), -deg[order], pos_blk))
+    sort_deg = -deg[order].astype(np.int64)
+    if freeze_prefix > 0:
+        # frozen positions sort FIRST within their block (stable → original
+        # relative order); being a prefix, they already occupy the block's
+        # leading positions, so they stay exactly in place
+        sort_deg[:freeze_prefix] = np.int64(-(2**62))
+    key = np.lexsort((np.arange(n), sort_deg, pos_blk))
     order = order[key]
     new_of_old = np.empty(n, dtype=np.int64)
     new_of_old[order] = np.arange(n)
@@ -307,21 +319,41 @@ def rcb_owned_order(part: MeshPartition, *, block: int = 256,
     and the window is uniform across shards (SPMD-clean).  At P=1 there are
     no sends, so this is the identity and the single-chip headline is
     untouched.  Comm-region blocks lose a little in-block RCB locality for
-    their ext lists; sends are a few percent of points."""
+    their ext lists; sends are a few percent of points.
+
+    Within the comm region, points are grouped by their SIGNATURE — the set
+    of comm entries (partner, round) that send them — each group a
+    contiguous ascending column run (RCB-sorted within).  Every phase's
+    send list is then a concatenation of whole groups, so the device pack
+    can be a handful of static-length dynamic slices instead of a gather
+    (tlayout's segmented lane layout; BASELINE.md round-4).  The in-block
+    degree sort skips the comm region — reordering inside a block would
+    break the groups' contiguity (the region is a few percent of points;
+    the compact-prefix loss there is noise)."""
     nowned = part.nowned
     nblk = max(1, nowned // block)
     blk = rcb_assign(part.coords[:nowned], nblk)
     order = np.argsort(blk, kind="stable")     # old ids in new order
+    ncomm = 0
     if comm_first:
         sp = send_point_set(part)
         if sp.size:
-            is_send = np.zeros(nowned, dtype=bool)
-            is_send[sp] = True
+            # signature id per send point (entry membership bitmask)
+            sig = np.zeros(nowned, dtype=np.int64)
+            for i, e in enumerate(part.comm):
+                check(i < 63, "more than 62 comm entries on one shard")
+                sig[e.sendidx] |= np.int64(1) << i
+            is_send = sig != 0
             sel = is_send[order]
-            order = np.concatenate([order[sel], order[~sel]])
+            comm = order[sel]
+            # group by signature (stable: RCB order preserved within)
+            comm = comm[np.argsort(sig[comm], kind="stable")]
+            order = np.concatenate([comm, order[~sel]])
+            ncomm = comm.size
     if degree_sort:
         deg = np.bincount(part.faces.ravel(), minlength=part.npoint)[:nowned]
-        return degree_sort_order(deg, block, base_order=order)
+        return degree_sort_order(deg, block, base_order=order,
+                                 freeze_prefix=ncomm)
     new_of_old = np.empty(nowned, dtype=np.int64)
     new_of_old[order] = np.arange(nowned)
     return new_of_old

@@ -452,7 +452,15 @@ class GreenGaussPallas:
                         or int(run[0]) + lay.s_max > lay.ndev):
                     ok = False
                     break
-            modes.append("slice" if ok else "gather")
+            if ok:
+                modes.append("slice")
+            elif lay.seg_offs and lay.seg_offs[k] is not None:
+                # segmented lanes (tlayout): the phase is a concatenation of
+                # signature-group runs at static offsets — pack = a handful
+                # of static-length dynamic slices (~10x over the gather)
+                modes.append("segs")
+            else:
+                modes.append("gather")
         self._pack_modes = tuple(modes)
         # truthful gather hints: since the topology-level pair sort, real
         # phases' send lists are ascending and tlayout pads repeat the last
@@ -681,6 +689,21 @@ class GreenGaussPallas:
             buf = jax.lax.dynamic_slice(
                 g, (jnp.int32(0), idx_k[0].astype(jnp.int32)),
                 (g.shape[0], lay.s_max))
+        elif mode == "segs":
+            # one static-length dynamic slice per signature-group segment;
+            # per-shard starts come from the send_idx lanes at the STATIC
+            # segment offsets (lane off holds the segment's first column, or
+            # an in-bounds pad on idle shards — masked by the scale)
+            rows_ = g.shape[0]
+            pieces = [
+                jax.lax.dynamic_slice(
+                    g, (jnp.int32(0), idx_k[off].astype(jnp.int32)),
+                    (rows_, L))
+                for off, L in lay.seg_offs[k]]
+            width = sum(L for _o, L in lay.seg_offs[k])
+            if width < lay.s_max:
+                pieces.append(jnp.zeros((rows_, lay.s_max - width), g.dtype))
+            buf = jnp.concatenate(pieces, axis=1)
         else:
             W = self._pack_window
             tbl = g

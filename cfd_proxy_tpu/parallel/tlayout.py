@@ -61,6 +61,14 @@ class TLayout:
     # collectives (ppermute).  REQUIRED (no default): a None here would
     # surface as a TypeError deep in GreenGaussPallas.__init__
     inter_slice: np.ndarray
+    # per-phase SEGMENTED lane layout, or None per phase when unavailable:
+    # seg_offs[k] = ((lane_off, L), ...) — static, identical across shards.
+    # Lane [off, off+L) of phase k holds one signature group's send pairs
+    # (a contiguous ascending column run on every shard, by the comm-first
+    # grouped relabel), so the pack is a concat of static-length dynamic
+    # slices instead of a gather (~10x; BASELINE.md round-4).  None for a
+    # phase ⇒ legacy prefix-packed lanes (gather-mode pack).
+    seg_offs: tuple = ()
 
     @property
     def ghost_start(self) -> int:
@@ -94,9 +102,69 @@ def build_tlayout(
               "parts out of order: index %d holds part_id %d", i, pt.part_id)
     owned_pad = round_up(max(p.nowned for p in parts), bp)
     nphases = max(topo.nphases, 1, int(min_phases))
+
+    # ---- signature analysis for the SEGMENTED lane layout ----
+    # Active pair lists per (shard, phase): send columns ascending (the
+    # topology pair sort), recv ghost ids aligned positionally.
+    act: dict[tuple[int, int], tuple] = {}
+    for k, ph in enumerate(topo.phases):
+        for (src, dst) in ph.perm:
+            cnt = int((ph.recv_idx[dst] < topo.npoint_pad).sum())
+            act[(src, k)] = (ph.send_idx[src, :cnt].astype(np.int64),
+                             ph.recv_idx[dst, :cnt].astype(np.int64))
+    # per-shard signature (set of phases) of every send column
+    sig_cols: list[dict] = [dict() for _ in range(P)]   # sig -> cols list
+    col_sig: list[dict] = [dict() for _ in range(P)]
+    for p in range(P):
+        phase_of: dict[int, list] = {}
+        for k in range(topo.nphases):
+            si_ri = act.get((p, k))
+            if si_ri is None:
+                continue
+            for c in si_ri[0]:
+                phase_of.setdefault(int(c), []).append(k)
+        for c, ks in phase_of.items():
+            sig = tuple(ks)         # ascending (k loop order)
+            col_sig[p][c] = sig
+            sig_cols[p].setdefault(sig, []).append(c)
+    sigs = sorted({s for d in sig_cols for s in d},
+                  key=lambda s: (len(s), s))
+    # segmented layout requires every (shard, signature) group to be one
+    # contiguous ascending column run — the comm-first grouped relabel
+    # guarantees it; un-relabeled callers (e.g. raw partitions) fall back
+    # to the legacy prefix-packed lanes
+    segmented = bool(sigs)
+    seg_len: dict[tuple, int] = {}
+    for sig in sigs:
+        n_max = 0
+        for p in range(P):
+            cols = np.sort(np.asarray(sig_cols[p].get(sig, ()), np.int64))
+            if cols.size > 1 and not (np.diff(cols) == 1).all():
+                segmented = False
+            n_max = max(n_max, cols.size)
+        seg_len[sig] = n_max
+    phase_segs: list[tuple] = []
+    if segmented:
+        for k in range(topo.nphases):
+            offs, off = [], 0
+            for sig in sigs:
+                if k in sig:
+                    offs.append((off, seg_len[sig]))
+                    off += seg_len[sig]
+            phase_segs.append(tuple(offs))
     smax_req = max(topo.max_phase_size(), 1)
+    if segmented and phase_segs:
+        smax_req = max([1] + [sum(L for _o, L in segs)
+                              for segs in phase_segs])
+    # fake phases (benchmark-only): contiguous-run segments so the fake
+    # measurement exercises the production segs pack path
+    n_fake = 0
     if fake_sends > 0 and nphases > topo.nphases:
-        smax_req = max(smax_req, int(fake_sends))
+        n_fake = int(fake_sends)
+        check(n_fake <= min(p.nowned for p in parts),
+              "fake_sends %d exceeds the smallest shard (%d owned)",
+              n_fake, min(p.nowned for p in parts))
+        smax_req = max(smax_req, n_fake)
     s_max = round_up(smax_req, LANE)
     # +bp: a dedicated trailing TRASH block that no real point maps to — the
     # safe target for padded grid entries (revisiting a real block from a pad
@@ -115,17 +183,54 @@ def build_tlayout(
     dsts = np.full((P, nphases), -1, dtype=np.int32)
     srcs = np.full((P, nphases), -1, dtype=np.int32)
     perms = []
+    seg_offs: list = []
     for k, ph in enumerate(topo.phases):
         perms.append(tuple(ph.perm))
         inter_slice[k] = bool(ph.inter_slice)
-        s = ph.send_idx.shape[1]
-        send_idx[:, k, :s] = ph.send_idx
-        for (src, _dst) in ph.perm:
-            # real lanes = the entry's actual send count for that src
-            cnt = int((ph.recv_idx[_dst] < topo.npoint_pad).sum())
-            send_mask[src, k, :cnt] = 1.0
-            dsts[src, k] = _dst
-            srcs[_dst, k] = src
+        if segmented:
+            # SEGMENTED lanes: each signature group at its static offset;
+            # per-segment tail pads repeat the group's last column (send,
+            # mask 0) and stay OOB on the recv side
+            seg_offs.append(phase_segs[k])
+            for (src, dst) in ph.perm:
+                si, ri = act[(src, k)]
+                lanes_recv = np.full(s_max, topo.npoint_pad, np.int64)
+                off = 0
+                for sig in sigs:
+                    if k not in sig:
+                        continue
+                    L = seg_len[sig]
+                    cols = np.sort(np.asarray(
+                        sig_cols[src].get(sig, ()), np.int64))
+                    n = cols.size
+                    if n:
+                        pos = np.searchsorted(si, cols)
+                        send_idx[src, k, off:off + n] = cols
+                        send_mask[src, k, off:off + n] = 1.0
+                        lanes_recv[off:off + n] = ri[pos]
+                        if n < L:
+                            send_idx[src, k, off + n:off + L] = cols[-1]
+                    off += L
+                valid = np.flatnonzero(lanes_recv < topo.npoint_pad)
+                locmap[dst][lanes_recv[valid]] = (owned_pad + k * s_max
+                                                  + valid)
+                dsts[src, k] = dst
+                srcs[dst, k] = src
+        else:
+            seg_offs.append(None)
+            s = ph.send_idx.shape[1]
+            send_idx[:, k, :s] = ph.send_idx
+            for (src, _dst) in ph.perm:
+                # real lanes = the entry's actual send count for that src
+                cnt = int((ph.recv_idx[_dst] < topo.npoint_pad).sum())
+                send_mask[src, k, :cnt] = 1.0
+                dsts[src, k] = _dst
+                srcs[_dst, k] = src
+            for d in range(P):
+                recv = ph.recv_idx[d]
+                valid = recv < topo.npoint_pad        # OOB marker = pad
+                pos = np.flatnonzero(valid)
+                locmap[d][recv[pos]] = owned_pad + k * s_max + pos
         # complete the partial matching to a full permutation: unmatched
         # senders push masked zeros to unmatched receivers, so every device
         # participates in every phase exactly once (uniform collective
@@ -135,37 +240,44 @@ def build_tlayout(
         for s_, t_ in zip(free_src, free_dst):
             dsts[s_, k] = t_
             srcs[t_, k] = s_
-        for d in range(P):
-            recv = ph.recv_idx[d]
-            valid = recv < topo.npoint_pad            # OOB marker = pad
-            pos = np.flatnonzero(valid)
-            locmap[d][recv[pos]] = owned_pad + k * s_max + pos
     npad_start = len(perms)
     while len(perms) < nphases:
         # fake_sends: padded phases become full SELF-permutations carrying a
         # real payload (see docstring); otherwise inert empty perms
         perms.append(tuple((d, d) for d in range(P)) if fake_sends > 0
                      else ())
-    if fake_sends > 0:
-        rng = np.random.default_rng(7)
+        seg_offs.append(None)
+    if n_fake:
+        # contiguous-run segments scattered in the front region: production
+        # send lists are sorted runs (comm-first grouped relabel), so the
+        # fake phases exercise the SAME segs pack path the real multichip
+        # graph uses
+        nseg = min(6, max(1, n_fake // LANE))
+        m = n_fake // nseg
+        lens = [m] * (nseg - 1) + [n_fake - m * (nseg - 1)]
+        offs, off = [], 0
+        for L in lens:
+            offs.append((off, L))
+            off += L
         for k in range(npad_start, nphases):
+            seg_offs[k] = tuple(offs)
             for p_i, pt in enumerate(parts):
-                n = min(int(fake_sends), pt.nowned)
-                # sorted random subset of the FRONT region — production send
-                # lists are sorted (topology pair sort) and front-packed
-                # (comm-first relabel), so the fake phases mimic the
-                # production gather shape: a small-window gather of
-                # non-contiguous columns (defeats the slice pack mode, keeps
-                # the _pack_window small)
-                width = min(pt.nowned, 3 * n)
-                send_idx[p_i, k, :n] = np.sort(rng.permutation(
-                    width)[:n]).astype(np.int32)
-                send_mask[p_i, k, :n] = 1.0
-    # pad send lanes with the last REAL index (not 0): keeps sorted phases
-    # sorted across the padding, so the pack gather's indices_are_sorted
-    # hint stays truthful; the scale/mask zero the padded values either way
+                width = min(pt.nowned, 3 * n_fake)
+                stride = width // nseg
+                off = 0
+                for r, L in enumerate(lens):
+                    start = r * stride
+                    send_idx[p_i, k, off:off + L] = np.arange(
+                        start, start + L, dtype=np.int32)
+                    send_mask[p_i, k, off:off + L] = 1.0
+                    off += L
+    # legacy phases: pad send lanes with the last REAL index (not 0) so the
+    # pack gather's indices_are_sorted hint stays truthful across padding
+    # (prefix-packed lanes only; segmented phases pad per segment above)
     for p_i in range(P):
         for k in range(nphases):
+            if seg_offs[k] is not None:
+                continue
             n = int((send_mask[p_i, k] > 0).sum())
             if 0 < n < s_max:
                 send_idx[p_i, k, n:] = send_idx[p_i, k, n - 1]
@@ -183,6 +295,7 @@ def build_tlayout(
         bp=bp, owned_pad=owned_pad, s_max=s_max, nphases=nphases, ndev=ndev,
         perms=perms, locmap=locmap, send_idx=send_idx, send_mask=send_mask,
         dsts=dsts, srcs=srcs, inter_slice=inter_slice,
+        seg_offs=tuple(seg_offs),
     )
 
 

@@ -492,7 +492,10 @@ def test_pack_mode_dispatch_matches_gather(mesh, gvar):
     must reproduce the dispatched step bitwise, for every schedule."""
     parts = partition_mesh(mesh, 4, ghost_layers=1)
     model = GreenGaussPallas(parts, NVAR, bp=128, interpret=True)
-    assert "gather" in model._pack_modes  # real comm phases exercise take
+    # real comm phases classify "segs" (the tlayout segmented lanes from the
+    # comm-first grouped relabel); forcing "gather" below exercises the
+    # equivalence of both lowerings
+    assert "segs" in model._pack_modes
     state = model.distribute_state(gvar)
     ref = {s: np.asarray(model.step(state, s)) for s in ("bulk", "early",
                                                          "overlap")}
@@ -532,3 +535,31 @@ def test_fake_sends_semantics_inert(mesh, gvar):
         np.testing.assert_array_equal(
             np.asarray(fake.step(fs, s))[:, :, :n],
             np.asarray(plain.step(ps, s))[:, :, :n])
+
+
+def test_segmented_pack_layout(mesh, gvar):
+    """The tlayout segmented lanes: every real phase's lane layout is a
+    concatenation of signature-group runs at STATIC offsets shared by all
+    shards; each shard's active lanes within a segment are one contiguous
+    ascending column run (the comm-first grouped relabel's guarantee the
+    segs pack mode's dynamic slices rely on)."""
+    parts = partition_mesh(mesh, 4, ghost_layers=1)
+    model = GreenGaussPallas(parts, NVAR, bp=128, interpret=True)
+    lay = model.layout
+    sidx = np.asarray(lay.send_idx)
+    mask = np.asarray(lay.send_mask)
+    saw_multi = False
+    for k in range(lay.nphases):
+        segs = lay.seg_offs[k]
+        assert segs is not None
+        saw_multi |= len(segs) > 1
+        assert sum(L for _o, L in segs) <= lay.s_max
+        for p in range(len(parts)):
+            for off, L in segs:
+                act = mask[p, k, off:off + L] > 0
+                n = int(act.sum())
+                assert act[:n].all()          # actives are a segment prefix
+                run = sidx[p, k, off:off + n]
+                if n > 1:
+                    np.testing.assert_array_equal(np.diff(run), 1)
+    assert saw_multi  # at P=4 some phase has multiple signature groups
