@@ -208,7 +208,30 @@ def measure_cpu_golden(nx: int = 32) -> dict:
     return out
 
 
+def _init_watchdog(seconds: float):
+    """If TPU/backend init wedges (a stale pool grant can block the claim
+    indefinitely — observed 2026-08-19 after a SIGKILLed benchmark run), die
+    LOUDLY with a parseable final JSON line instead of hanging forever and
+    leaving an empty BENCH artifact.  Cancel once the first device op lands."""
+    import threading
+
+    def fire():
+        print(json.dumps({
+            "metric": "faces_per_sec_per_chip", "value": None,
+            "unit": "faces/s", "vs_baseline": None,
+            "error": f"backend init exceeded {seconds:.0f}s — axon tunnel/"
+                     f"pool grant wedged; last good numbers in BASELINE.md",
+        }), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main() -> int:
+    wd = _init_watchdog(float(os.environ.get("BENCH_INIT_TIMEOUT_S", "420")))
     import jax
 
     platform = jax.default_backend()
@@ -228,6 +251,12 @@ def main() -> int:
     bp = int(bp_env) if bp_env else None
     log(f"platform={platform} devices={jax.devices()} nx={nx} iters={iters} "
         f"backend={backend} kernel={kernel} bp={bp}")
+    # prove the device actually executes (a claim can succeed and the first
+    # dispatch still wedge), then stand down the init watchdog
+    import jax.numpy as jnp
+
+    float(jax.jit(lambda x: (x + 1.0).sum())(jnp.zeros((8, 128))))
+    wd.cancel()
 
     cpu = measure_cpu_golden(16 if not on_tpu else 32)
     cpu_fps = cpu["numpy_fps"]
