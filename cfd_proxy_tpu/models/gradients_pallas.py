@@ -171,6 +171,7 @@ class GreenGaussPallas:
         halo_dtype: str = "float32",
         grad_dtype: str = "float32",
         overlap_debug: str | None = None,
+        pack_force: str | None = None,
     ):
         if interpret is None:
             # Mosaic compiles only for TPU; interpret elsewhere (CPU tests)
@@ -260,6 +261,13 @@ class GreenGaussPallas:
               "overlap_debug is a P=1 timing-only knob (got %d shards)",
               len(parts))
         self.overlap_debug = overlap_debug
+        # pack_force ("gather"): benchmark-only — disable the slice/segs
+        # pack lowerings so a paired A/B can measure what they buy over the
+        # windowed column gather on identical layouts.  Value-identical by
+        # construction (test_pack_mode_dispatch_matches_gather).
+        check(pack_force in (None, "gather"),
+              "unknown pack_force %r", pack_force)
+        self.pack_force = pack_force
         check(nvar <= NV, "nvar %d > padded NV %d", nvar, NV)
         # the flux kernel reads var[:3] as the velocity vector; with fewer
         # vars the padded zero rows would silently stand in for velocity
@@ -461,6 +469,10 @@ class GreenGaussPallas:
                 modes.append("segs")
             else:
                 modes.append("gather")
+        if self.pack_force == "gather":
+            # benchmark A/B: keep "zero" (exact-constant phases have no
+            # gather to measure); force the rest to the windowed gather
+            modes = [m if m == "zero" else "gather" for m in modes]
         self._pack_modes = tuple(modes)
         # truthful gather hints: since the topology-level pair sort, real
         # phases' send lists are ascending and tlayout pads repeat the last

@@ -69,6 +69,10 @@ class SolverConfig:
     overlap_debug: str | None = None    # fused-RDMA fixed-cost attribution
                                         # (nobar|nodma|...) — P=1 timing
                                         # only; see sweep_blocks_overlap
+    pack_force: str | None = None   # benchmark-only: "gather" disables the
+                                    # slice/segs pack lowerings (paired A/B
+                                    # of the segmented lanes vs the
+                                    # windowed column gather)
     min_phases: int = 1         # pad the exchange schedule to this many
                                 # phases (self-sends) — multi-phase RDMA
                                 # machinery on one chip
@@ -151,7 +155,8 @@ def build_model(cfg: SolverConfig):
                                  grad_dtype=cfg.grad_dtype,
                                  overlap_debug=cfg.overlap_debug,
                                  min_phases=cfg.min_phases,
-                                 fake_sends=cfg.fake_sends)
+                                 fake_sends=cfg.fake_sends,
+                                 pack_force=cfg.pack_force)
     else:
         if cfg.model != "gg":
             raise SystemExit("--model flux requires --backend pallas")
@@ -506,6 +511,9 @@ def main(argv=None) -> int:
                          "owned payloads of this many lanes (self-sends; "
                          "owned results unchanged) — measures P>1-shaped "
                          "pack/exchange fixed costs on one chip")
+    ap.add_argument("--pack-force", default=None, choices=["gather"],
+                    help="benchmark-only: disable the slice/segs pack "
+                         "lowerings (A/B vs the windowed column gather)")
     ap.add_argument("--no-verify", action="store_true")
     ap.add_argument("--json", action="store_true", help="emit one JSON line")
     ap.add_argument("--profile", dest="profile_dir", default=None,
@@ -539,6 +547,7 @@ def main(argv=None) -> int:
         backend=args.backend, model=args.model, kernel=args.kernel,
         force_rdma=args.force_rdma, slice_size=args.slice_size,
         min_phases=args.min_phases, fake_sends=args.fake_sends,
+        pack_force=args.pack_force,
         meta_dtype=args.meta_dtype, src_dtype=args.src_dtype,
         halo_dtype=args.halo_dtype,
         grad_dtype=args.grad_dtype,

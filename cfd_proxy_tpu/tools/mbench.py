@@ -43,7 +43,7 @@ from cfd_proxy_tpu.utils.timing import two_point_sampler
 _MODEL_FIELDS = (
     "model", "nvar", "bp", "kernel", "force_rdma", "slice_size",
     "meta_dtype", "src_dtype", "kcompact", "halo_dtype", "grad_dtype",
-    "overlap_debug", "min_phases", "fake_sends",
+    "overlap_debug", "min_phases", "fake_sends", "pack_force",
 )
 
 # fields the per-side DRIVE honors (sampler schedule/mode, state seed).

@@ -521,12 +521,14 @@ def test_fake_sends_semantics_inert(mesh, gvar):
     payloads (the P>1-shaped pack/exchange fixed-cost measurement knob);
     the payload lands in reserved ghost regions no face references, so
     owned results must be bitwise those of the plain model, and the phases
-    must classify as "gather" (the mode whose cost it measures)."""
+    must classify as "segs" (contiguous-run segments in the front region —
+    the production P>1 pack path whose cost the knob measures)."""
     parts = partition_mesh(mesh, 1)
     plain = GreenGaussPallas(parts, NVAR, bp=128, interpret=True)
     fake = GreenGaussPallas(parts, NVAR, bp=128, interpret=True,
                             force_rdma=True, min_phases=4, fake_sends=256)
-    assert fake._pack_modes == ("gather",) * 4
+    assert fake._pack_modes == ("segs",) * 4
+    assert all(off is not None for off in fake.layout.seg_offs)
     assert fake.layout.s_max == 256
     n = parts[0].nowned
     fs = fake.distribute_state(gvar)
@@ -535,6 +537,23 @@ def test_fake_sends_semantics_inert(mesh, gvar):
         np.testing.assert_array_equal(
             np.asarray(fake.step(fs, s))[:, :, :n],
             np.asarray(plain.step(ps, s))[:, :, :n])
+
+
+def test_pack_force_gather(mesh, gvar):
+    """pack_force="gather" (the segs-vs-gather A/B knob) downgrades every
+    slice/segs phase to the windowed gather, keeps "zero" phases, and is
+    value-identical on every schedule."""
+    parts = partition_mesh(mesh, 4, ghost_layers=1)
+    model = GreenGaussPallas(parts, NVAR, bp=128, interpret=True)
+    assert "segs" in model._pack_modes
+    forced = GreenGaussPallas(parts, NVAR, bp=128, interpret=True,
+                              pack_force="gather")
+    assert all(m in ("zero", "gather") for m in forced._pack_modes)
+    state = model.distribute_state(gvar)
+    fstate = forced.distribute_state(gvar)
+    for s in ("bulk", "early", "overlap"):
+        np.testing.assert_array_equal(np.asarray(forced.step(fstate, s)),
+                                      np.asarray(model.step(state, s)))
 
 
 def test_segmented_pack_layout(mesh, gvar):
