@@ -338,12 +338,21 @@ def rcb_owned_order(part: MeshPartition, *, block: int = 256,
     if comm_first:
         sp = send_point_set(part)
         if sp.size:
-            # signature id per send point (entry membership bitmask)
-            sig = np.zeros(nowned, dtype=np.int64)
+            # signature id per send point: which comm entries send it.
+            # Exact for any entry count: a (send points, entries) membership
+            # matrix keyed through np.unique(axis=0) — send points are a few
+            # percent of a shard and entries a few dozen, so the matrix is
+            # tiny.  (A single int64 bitmask caps at 62 entries, which K=3
+            # closures at 64+ shards exceed.)
+            pos_of = np.full(nowned, -1, dtype=np.int64)
+            pos_of[sp] = np.arange(sp.size)
+            memb = np.zeros((sp.size, len(part.comm)), dtype=bool)
             for i, e in enumerate(part.comm):
-                check(i < 63, "more than 62 comm entries on one shard")
-                sig[e.sendidx] |= np.int64(1) << i
-            is_send = sig != 0
+                memb[pos_of[e.sendidx], i] = True
+            _, sig_of_sp = np.unique(memb, axis=0, return_inverse=True)
+            sig = np.full(nowned, -1, dtype=np.int64)
+            sig[sp] = sig_of_sp
+            is_send = sig >= 0
             sel = is_send[order]
             comm = order[sel]
             # group by signature (stable: RCB order preserved within)
