@@ -702,10 +702,15 @@ class GreenGaussPallas:
                 g, (jnp.int32(0), idx_k[0].astype(jnp.int32)),
                 (g.shape[0], lay.s_max))
         elif mode == "segs":
-            # one static-length dynamic slice per signature-group segment;
-            # per-shard starts come from the send_idx lanes at the STATIC
-            # segment offsets (lane off holds the segment's first column, or
-            # an in-bounds pad on idle shards — masked by the scale)
+            # one static-length dynamic slice per big signature-group
+            # segment; per-shard starts come from the send_idx lanes at the
+            # STATIC segment offsets (lane off holds the segment's first
+            # column, or an in-bounds pad on idle shards — masked by the
+            # scale).  The small-group TAIL (tlayout.tail_offs: the ~2%
+            # multi-phase corner points, fragmented into tens of tiny
+            # groups) is packed by ONE windowed gather of its lanes —
+            # a slice per tiny group would blow up the graph (measured
+            # 13x dryrun wall at 64-way)
             rows_ = g.shape[0]
             pieces = [
                 jax.lax.dynamic_slice(
@@ -713,6 +718,16 @@ class GreenGaussPallas:
                     (rows_, L))
                 for off, L in lay.seg_offs[k]]
             width = sum(L for _o, L in lay.seg_offs[k])
+            tail = lay.tail_offs[k] if lay.tail_offs else None
+            if tail is not None:
+                t_off, t_len = tail
+                W = self._pack_window
+                tbl = (jax.lax.slice(g, (0, 0), (rows_, W))
+                       if 0 < W <= g.shape[1] // 2 else g)
+                pieces.append(jnp.take(
+                    tbl, jax.lax.slice(idx_k, (t_off,), (t_off + t_len,)),
+                    axis=1))
+                width += t_len
             if width < lay.s_max:
                 pieces.append(jnp.zeros((rows_, lay.s_max - width), g.dtype))
             buf = jnp.concatenate(pieces, axis=1)

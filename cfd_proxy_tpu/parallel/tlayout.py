@@ -32,6 +32,17 @@ from cfd_proxy_tpu.utils import round_up
 
 LANE = 128
 
+# A segmented phase lowers to one dynamic_slice per SLICE segment plus one
+# small windowed gather over the TAIL region.  Only segments this long earn
+# a slice (below it the gather is cheaper per lane), and at most
+# SEG_MAX_PER_PHASE of them (graph-size bound) — the rest join the tail.
+# Measured structure of the real P=8 headline topology: 1-4 big single-
+# partner segments (~2.3k lanes) + 10-20 tiny multi-phase-corner segments
+# (1-50 lanes, ~2% of sends); 64-way small shards fragment into 100+
+# one-lane segments, where the tail absorbs everything.
+SEG_MIN_LANES = 64
+SEG_MAX_PER_PHASE = 8
+
 
 
 
@@ -68,7 +79,16 @@ class TLayout:
     # grouped relabel), so the pack is a concat of static-length dynamic
     # slices instead of a gather (~10x; BASELINE.md round-4).  None for a
     # phase ⇒ legacy prefix-packed lanes (gather-mode pack).
+    #
+    # Only segments >= SEG_MIN_LANES long (at most SEG_MAX_PER_PHASE, big
+    # first) get slices; the remaining small segments form the phase's TAIL
+    # — tail_offs[k] = (lane_off, L) or None — packed by ONE windowed
+    # gather of those lanes' columns (the ~2% multi-phase corner points
+    # fragment into tens of tiny signature groups; a slice each would blow
+    # up the graph, measured 13x dryrun wall at 64-way).  Lane layout per
+    # phase: slice segments first (descending length), then the tail.
     seg_offs: tuple = ()
+    tail_offs: tuple = ()
 
     @property
     def ghost_start(self) -> int:
@@ -77,7 +97,7 @@ class TLayout:
 
 def build_tlayout(
     parts: list[MeshPartition], topo: HaloTopology, *, bp: int = 256,
-    min_phases: int = 1, fake_sends: int = 0,
+    min_phases: int = 1, fake_sends: int = 0, seg_slack: float = 1.25,
 ) -> TLayout:
     """min_phases: pad the schedule with extra self-send phases (each is a
     full self-permutation of masked zeros) — used to exercise the fused RDMA
@@ -91,7 +111,17 @@ def build_tlayout(
     reserved ghost region, which no face references, so owned results are
     unchanged (tested) — but pack/transfer/unpack now move REAL multi-phase
     payloads on a single chip, making P>1 exchange fixed costs (the
-    "gather"-mode pack above all) measurable without multi-chip hardware."""
+    "gather"-mode pack above all) measurable without multi-chip hardware.
+
+    seg_slack: lane-width budget for the SEGMENTED layout, as a multiple of
+    the legacy prefix-packed phase width.  A phase's segmented width is
+    Σ_sig max-over-shards group size — tail pads that ride the wire (every
+    ppermute buffer is (rows, s_max)) and widen every ghost region.  At
+    P=8 on the headline mesh the inflation is ~1.1-1.2× (worth it: the
+    pack drops from ~1.7 ns/col to a few dynamic slices), but at 64-way
+    small shards it measured 6× — worse than the pack saving.  Phases
+    whose segmented width exceeds seg_slack × the legacy s_max fall back
+    to prefix-packed lanes + gather pack, per phase."""
     P = len(parts)
     # positional identity, mirrored from build_halo_topology: locmap,
     # send_idx rows and ph.recv_idx are all indexed by position, so a list
@@ -143,19 +173,44 @@ def build_tlayout(
                 segmented = False
             n_max = max(n_max, cols.size)
         seg_len[sig] = n_max
-    phase_segs: list[tuple] = []
+    # per-phase lane plan: signature groups in DESCENDING length order; the
+    # leading >= SEG_MIN_LANES groups (at most SEG_MAX_PER_PHASE) become
+    # slice segments, everything after them is the gather TAIL
+    phase_order: list[list] = []   # per phase: sigs in lane order
+    phase_segs: list[tuple] = []   # per phase: ((off, L), ...) slices
+    phase_tail: list = []          # per phase: (off, L) or None
     if segmented:
         for k in range(topo.nphases):
+            order = sorted((s for s in sigs if k in s),
+                           key=lambda s: (-seg_len[s], len(s), s))
+            # slices: the descending-length prefix that qualifies
             offs, off = [], 0
-            for sig in sigs:
-                if k in sig:
-                    offs.append((off, seg_len[sig]))
-                    off += seg_len[sig]
+            for sig in order:
+                if seg_len[sig] < SEG_MIN_LANES or len(offs) >= SEG_MAX_PER_PHASE:
+                    break
+                offs.append((off, seg_len[sig]))
+                off += seg_len[sig]
+            width = sum(seg_len[s] for s in order)
+            tail = (off, width - off) if width > off else None
+            phase_order.append(order)
             phase_segs.append(tuple(offs))
-    smax_req = max(topo.max_phase_size(), 1)
-    if segmented and phase_segs:
-        smax_req = max([1] + [sum(L for _o, L in segs)
-                              for segs in phase_segs])
+            phase_tail.append(tail)
+    # per-phase width gating (see seg_slack in the docstring): segmented
+    # tail pads ride the wire and widen every ghost region, so a phase
+    # keeps the segmented lanes only while its width fits the slack-capped
+    # legacy budget; others fall back to prefix-packed lanes + gather pack
+    w_legacy = max(topo.max_phase_size(), 1)
+    use_segs = [False] * topo.nphases
+    if segmented and phase_order:
+        budget = max(float(seg_slack) * w_legacy, float(LANE))
+        use_segs = [sum(seg_len[s] for s in phase_order[k]) <= budget
+                    for k in range(topo.nphases)]
+    smax_req = 1
+    for k in range(topo.nphases):
+        smax_req = max(smax_req, sum(seg_len[s] for s in phase_order[k])
+                       if use_segs[k] else w_legacy)
+    if topo.nphases == 0:
+        smax_req = w_legacy
     # fake phases (benchmark-only): contiguous-run segments so the fake
     # measurement exercises the production segs pack path
     n_fake = 0
@@ -184,21 +239,22 @@ def build_tlayout(
     srcs = np.full((P, nphases), -1, dtype=np.int32)
     perms = []
     seg_offs: list = []
+    tail_offs: list = []
     for k, ph in enumerate(topo.phases):
         perms.append(tuple(ph.perm))
         inter_slice[k] = bool(ph.inter_slice)
-        if segmented:
-            # SEGMENTED lanes: each signature group at its static offset;
-            # per-segment tail pads repeat the group's last column (send,
-            # mask 0) and stay OOB on the recv side
+        if use_segs[k]:
+            # SEGMENTED lanes: each signature group at its static offset
+            # (slice segments first, descending length, then the tail
+            # groups); per-group tail pads repeat the group's last column
+            # (send, mask 0) and stay OOB on the recv side
             seg_offs.append(phase_segs[k])
+            tail_offs.append(phase_tail[k])
             for (src, dst) in ph.perm:
                 si, ri = act[(src, k)]
                 lanes_recv = np.full(s_max, topo.npoint_pad, np.int64)
                 off = 0
-                for sig in sigs:
-                    if k not in sig:
-                        continue
+                for sig in phase_order[k]:
                     L = seg_len[sig]
                     cols = np.sort(np.asarray(
                         sig_cols[src].get(sig, ()), np.int64))
@@ -218,6 +274,7 @@ def build_tlayout(
                 srcs[dst, k] = src
         else:
             seg_offs.append(None)
+            tail_offs.append(None)
             s = ph.send_idx.shape[1]
             send_idx[:, k, :s] = ph.send_idx
             for (src, _dst) in ph.perm:
@@ -247,6 +304,7 @@ def build_tlayout(
         perms.append(tuple((d, d) for d in range(P)) if fake_sends > 0
                      else ())
         seg_offs.append(None)
+        tail_offs.append(None)
     if n_fake:
         # contiguous-run segments scattered in the front region: production
         # send lists are sorted runs (comm-first grouped relabel), so the
@@ -295,7 +353,7 @@ def build_tlayout(
         bp=bp, owned_pad=owned_pad, s_max=s_max, nphases=nphases, ndev=ndev,
         perms=perms, locmap=locmap, send_idx=send_idx, send_mask=send_mask,
         dsts=dsts, srcs=srcs, inter_slice=inter_slice,
-        seg_offs=tuple(seg_offs),
+        seg_offs=tuple(seg_offs), tail_offs=tuple(tail_offs),
     )
 
 

@@ -557,23 +557,39 @@ def test_pack_force_gather(mesh, gvar):
 
 
 def test_segmented_pack_layout(mesh, gvar):
-    """The tlayout segmented lanes: every real phase's lane layout is a
-    concatenation of signature-group runs at STATIC offsets shared by all
-    shards; each shard's active lanes within a segment are one contiguous
-    ascending column run (the comm-first grouped relabel's guarantee the
-    segs pack mode's dynamic slices rely on)."""
+    """The tlayout segmented lanes (hybrid slices + tail): every real
+    phase's lane layout is big signature-group runs at STATIC offsets
+    shared by all shards (descending length, each >= SEG_MIN_LANES, at most
+    SEG_MAX_PER_PHASE), followed by the small-group TAIL region that the
+    pack gathers in one take.  Each shard's active lanes within a slice
+    segment are one contiguous ascending column run (the comm-first grouped
+    relabel's guarantee the segs pack mode's dynamic slices rely on)."""
+    from cfd_proxy_tpu.parallel.tlayout import SEG_MAX_PER_PHASE, SEG_MIN_LANES
+
     parts = partition_mesh(mesh, 4, ghost_layers=1)
     model = GreenGaussPallas(parts, NVAR, bp=128, interpret=True)
     lay = model.layout
     sidx = np.asarray(lay.send_idx)
     mask = np.asarray(lay.send_mask)
-    saw_multi = False
+    saw_tail = False
     for k in range(lay.nphases):
         segs = lay.seg_offs[k]
         assert segs is not None
-        saw_multi |= len(segs) > 1
-        assert sum(L for _o, L in segs) <= lay.s_max
+        assert len(segs) <= SEG_MAX_PER_PHASE
+        lens = [L for _o, L in segs]
+        assert all(L >= SEG_MIN_LANES for L in lens)
+        assert lens == sorted(lens, reverse=True)     # big first
+        width = sum(lens)
+        tail = lay.tail_offs[k]
+        if tail is not None:
+            saw_tail = True
+            t_off, t_len = tail
+            assert t_off == width and t_len > 0       # tail follows slices
+            width += t_len
+        assert width <= lay.s_max
         for p in range(len(parts)):
+            # no active lane outside the slices+tail layout
+            assert not (mask[p, k, width:] > 0).any()
             for off, L in segs:
                 act = mask[p, k, off:off + L] > 0
                 n = int(act.sum())
@@ -581,4 +597,34 @@ def test_segmented_pack_layout(mesh, gvar):
                 run = sidx[p, k, off:off + n]
                 if n > 1:
                     np.testing.assert_array_equal(np.diff(run), 1)
-    assert saw_multi  # at P=4 some phase has multiple signature groups
+    assert saw_tail  # at P=4 some phase has small multi-phase groups
+
+
+def test_segmented_width_gating(mesh):
+    """seg_slack caps the segmented layout's lane inflation: tail pads ride
+    the wire (every ppermute buffer is (rows, s_max)) and widen every ghost
+    region — measured 6x at 64-way small shards.  A slack of 0 must force
+    every phase back to the legacy prefix-packed lanes at the legacy width;
+    the default keeps segments only within budget."""
+    from cfd_proxy_tpu.mesh.partition import relabel_owned, rcb_owned_order
+    from cfd_proxy_tpu.parallel.tlayout import LANE, build_tlayout
+    from cfd_proxy_tpu.parallel.topology import build_halo_topology
+
+    parts = partition_mesh(mesh, 4, ghost_layers=1)
+    parts = [relabel_owned(p, rcb_owned_order(p, block=128, degree_sort=True))
+             for p in parts]
+    topo = build_halo_topology(parts, max(p.npoint for p in parts) + 1)
+    w_legacy = -(-max(topo.max_phase_size(), 1) // LANE) * LANE
+    tight = build_tlayout(parts, topo, bp=128, seg_slack=0.0)
+    # budget floors at LANE (a <=128-lane segmented phase cannot inflate
+    # past the 128-rounded legacy width): wider phases must all fall back
+    for off in tight.seg_offs[:topo.nphases]:
+        assert off is None or sum(L for _o, L in off) <= 128
+    assert tight.s_max == w_legacy
+    wide = build_tlayout(parts, topo, bp=128, seg_slack=1e9)
+    assert all(off is not None for off in wide.seg_offs[:topo.nphases])
+    dflt = build_tlayout(parts, topo, bp=128)
+    for k in range(topo.nphases):
+        if dflt.seg_offs[k] is not None:
+            assert sum(L for _o, L in dflt.seg_offs[k]) <= dflt.s_max
+    assert dflt.s_max <= max(w_legacy, -(-int(1.25 * w_legacy) // LANE) * LANE)
