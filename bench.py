@@ -459,17 +459,22 @@ def main() -> int:
             rt = RATE_TABLES["f32"]
             # round-4 MEASURED decomposition (BASELINE.md fake-phase rungs,
             # P8-shaped payloads on the real chip): the pack/unpack chain is
-            # ~5 us base + 1.7 ns per gathered column for BOTH schedules
+            # ~5 us base + 1.7 ns per GATHERED column for BOTH schedules
             # (exposed everywhere — one compute core), and the fused RDMA
             # machinery adds ~3 us over ppermute (barrier + DMAs + scatter
             # measured +7 us total vs sweep-only, −small ppermute base).
+            # The segmented pack (signature-grouped send lanes, round 4)
+            # makes slice lanes FREE — measured paired 1.675 over the
+            # gather, chain 28 → 5.1 us — so shard_geometry's pack_cols
+            # charges only the small-group tail + legacy phases.
             # Replaces round 3's flat 70/70 which conflated chain and
             # transport.
             kw = dict(overlap_fixed_us=8.0, bulk_fixed_us=5.0,
                       pack_ns_per_col=1.7, halo_bytes=4)
 
-            def row(geo, ici, table):
-                r = eval_geometry(geo, None, ici, 24, rate_table=table, **kw)
+            def row(geo, ici, table, **over):
+                r = eval_geometry(geo, None, ici, 24, rate_table=table,
+                                  **{**kw, **over})
                 return {
                     "nface": r["nface"],
                     "bulk_gfps": r["nface"] / r["t_bulk"] / 1e9,
@@ -481,18 +486,19 @@ def main() -> int:
             gm = generate_mesh(nx, nx, nx, jitter=0.05, diag_frac=0.2,
                                seed=0)
             geo8 = shard_geometry(gm, 8)
+            # strong P8 is comm-bound at f32 payloads (33 us wire vs 20 us
+            # interior sweep); the bf16-halo row shows the built
+            # --halo-dtype lever restoring full hide there
             rows = {"strong_P8": row(geo8, V5E_ICI_GBPS, rt),
+                    "strong_P8_bf16halo": row(geo8, V5E_ICI_GBPS, rt,
+                                              halo_bytes=2),
                     "strong_P64": row(shard_geometry(gm, 64),
                                       V5E_ICI_GBPS, rt)}
-            # gate sensitivity to the ONE measured fixed cost standing
-            # between the strong-P8 model and the >=85% gate (VERDICT r3
-            # item 2c): eff_solverdef at the strong-P8 config vs the fused
-            # kernel's fixed cost
-            # gate sensitivity to the pack rate — the ONE term standing
-            # between the model and the >=85% eff_solverdef gate (the
-            # measured XLA windowed gather is 1.7 ns/col vs wire 2.1 ns/col
-            # at 45 GB/s; 0 = the designed-but-unbuilt segment-RDMA path
-            # that sends straight out of the gradient array)
+            # gate sensitivity to the pack rate — the term that stood
+            # between the model and the >=85% eff_solverdef gate before the
+            # segmented pack (VERDICT r3 item 2c).  pack_cols now counts
+            # only tail+legacy gather columns, so the sweep shows how much
+            # of the gate margin the REMAINING gathered tail costs
             sens = {}
             for pn in (0.0, 0.85, 1.7, 3.4):
                 r = eval_geometry(geo8, None, V5E_ICI_GBPS, 24,

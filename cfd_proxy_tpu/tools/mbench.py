@@ -114,6 +114,7 @@ def _build(cfg: SolverConfig, parts):
         kcompact=cfg.kcompact, halo_dtype=cfg.halo_dtype,
         grad_dtype=cfg.grad_dtype, overlap_debug=cfg.overlap_debug,
         min_phases=cfg.min_phases, fake_sends=cfg.fake_sends,
+        pack_force=cfg.pack_force,
     )
 
 

@@ -102,11 +102,23 @@ def shard_geometry(mesh, P, slice_size=None) -> dict:
     Wire volume downstream is the PADDED per-phase buffer (s_max × rows ×
     halo_bytes for every phase a device actually sends to a peer), matching
     parallel/tlayout.py — the unpadded sendidx sum would be optimistic on
-    imbalanced partitions."""
+    imbalanced partitions.  tlayout's segmented lanes make that width
+    slightly WIDER (tail pads ride the wire, measured inflation ~1.11 at
+    P=8, gated at 1.25 by seg_slack) but make the PACK nearly free: the
+    per-shard `pack_cols` entry counts only the columns the pack still
+    GATHERS (segmented phases' small-group tail + any legacy prefix-packed
+    phase's full s_max); slice segments measured ~0 (paired 1.675 over the
+    windowed gather at P8-shaped payloads, chain 28 → 5.1 µs, round 4)."""
+    from cfd_proxy_tpu.mesh.partition import relabel_owned, rcb_owned_order
     from cfd_proxy_tpu.parallel.tlayout import build_tlayout
     from cfd_proxy_tpu.parallel.topology import build_halo_topology
 
-    parts = partition_mesh(mesh, P)
+    # mirror GreenGaussPallas's preprocessing: the comm-first signature-
+    # grouped relabel is what makes tlayout's segmented lanes possible —
+    # a raw-partition layout would silently read pack_cols = every column
+    parts = [relabel_owned(p, rcb_owned_order(p, block=4096,
+                                              degree_sort=True))
+             for p in partition_mesh(mesh, P)]
     topo = build_halo_topology(parts, max(p.npoint for p in parts) + 1,
                                slice_size=slice_size)
     lay = build_tlayout(parts, topo)
@@ -118,9 +130,19 @@ def shard_geometry(mesh, P, slice_size=None) -> dict:
         is_send[sp] = True
         bsel = is_send[p.faces[:, 0]] | is_send[p.faces[:, 1]]
         sends = lay.dsts[d] != d
+        pack_cols = 0
+        for k in range(lay.nphases):
+            if lay.dsts[d, k] == d:
+                continue
+            if lay.seg_offs and lay.seg_offs[k] is not None:
+                t = lay.tail_offs[k] if lay.tail_offs else None
+                pack_cols += int(t[1]) if t is not None else 0
+            else:
+                pack_cols += int(lay.s_max)
         shards.append((p.nface, int(bsel.sum()),
                        int((sends & ~inter).sum()),
-                       int((sends & inter).sum())))
+                       int((sends & inter).sum()),
+                       pack_cols))
     return {"nface_total": sum(p.nface for p in parts),
             "s_max": int(lay.s_max), "shards": shards}
 
@@ -148,13 +170,18 @@ def eval_geometry(geo: dict, ns_per_face, ici_gbps, rows, *,
     small-mesh row).  Both apply only when the shard actually exchanges.
 
     pack_ns_per_col: when set, BOTH schedules additionally pay
-    pack_ns_per_col × (phases × s_max) per step — the MEASURED windowed-
-    gather pack cost (round-4 fake-phase rungs; the pack depends on the
-    boundary output and cannot run concurrently with compute on a TPU core,
-    so it is exposed in every schedule).  With it set, bulk_fixed_us /
-    overlap_fixed_us should carry only the per-schedule BASE machinery
-    (ppermute launches + unpack ≈ 5 us; fused-RDMA machinery ≈ +3 us over
-    that), not the round-3 flat 70 us that conflated chain and transport.
+    pack_ns_per_col × the shard's GATHER-packed column count per step — the
+    MEASURED windowed-gather pack cost (round-4 fake-phase rungs; the pack
+    depends on the boundary output and cannot run concurrently with compute
+    on a TPU core, so it is exposed in every schedule).  Geometries built by
+    shard_geometry carry the real layout's per-shard `pack_cols` (segmented
+    slice lanes are FREE — measured paired 1.675, chain 28 → 5.1 µs — only
+    the small-group tail and legacy prefix-packed phases still gather);
+    older 4-tuples fall back to charging every column, phases × s_max.
+    With it set, bulk_fixed_us / overlap_fixed_us should carry only the
+    per-schedule BASE machinery (ppermute launches + unpack ≈ 5 us;
+    fused-RDMA machinery ≈ +3 us over that), not the round-3 flat 70 us
+    that conflated chain and transport.
 
     Multi-slice: a geometry built with slice_size carries DCN phase counts;
     those phases are charged at dcn_gbps (sequential ppermutes), mirroring
@@ -171,7 +198,10 @@ def eval_geometry(geo: dict, ns_per_face, ici_gbps, rows, *,
     """
     t_bulk = t_over = t_nc = 0.0
     eff_num = eff_den = 0.0
-    for nface, nfb, n_ici, n_dcn in geo["shards"]:
+    for shard in geo["shards"]:
+        nface, nfb, n_ici, n_dcn = shard[:4]
+        pack_cols = (shard[4] if len(shard) > 4
+                     else (n_ici + n_dcn) * geo["s_max"])
         # per-SHARD sweep rate: a strong-scaled shard runs at its own
         # footprint's measured rate (RATE_TABLES), not the global mesh's
         nspf = (rate_ns_per_face(nface, rate_table) if rate_table
@@ -187,7 +217,7 @@ def eval_geometry(geo: dict, ns_per_face, ici_gbps, rows, *,
         fx = bulk_fixed_us * 1e-6 if (n_ici + n_dcn) else 0.0
         ofx = overlap_fixed_us * 1e-6 if (n_ici + n_dcn) else 0.0
         if pack_ns_per_col is not None and (n_ici + n_dcn):
-            tp = (n_ici + n_dcn) * geo["s_max"] * pack_ns_per_col * 1e-9
+            tp = pack_cols * pack_ns_per_col * 1e-9
             fx += tp
             ofx += tp
         t_bulk = max(t_bulk, ts_all + tc + fx)
@@ -270,12 +300,14 @@ def main(argv=None) -> int:
                          "(BASELINE.md); the payload term lives in "
                          "--pack-ns-per-col")
     ap.add_argument("--pack-ns-per-col", type=float, default=1.7,
-                    help="MEASURED pack cost per gathered send column, "
+                    help="MEASURED pack cost per GATHERED send column, "
                          "charged to BOTH schedules (the pack is exposed "
                          "everywhere — one compute core).  1.7 ns/col = the "
-                         "comm-first windowed XLA gather (round 4); 0 "
-                         "models the designed segment-RDMA path that sends "
-                         "straight out of the gradient array")
+                         "comm-first windowed XLA gather (round 4).  The "
+                         "layout's segmented slice lanes are charged ZERO "
+                         "(built + measured: paired 1.675 over the gather, "
+                         "chain 28 → 5.1 µs at P8 shapes) — only the "
+                         "small-group tail and legacy phases pay this rate")
     ap.add_argument("--diag-frac", type=float, default=0.2)
     args = ap.parse_args(argv)
 

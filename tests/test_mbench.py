@@ -42,6 +42,34 @@ def test_model_fields_exist():
     assert set(_MODEL_FIELDS) <= names
 
 
+def test_build_consumes_every_model_field():
+    """Every _MODEL_FIELDS entry must be forwarded by _build — a field that
+    parse_overrides accepts but _build drops makes both sides build the SAME
+    model and records a false ~1.00 verdict (pack_force was silently dropped
+    once: a segs-vs-gather A/B measured segs-vs-segs)."""
+    import inspect
+
+    from cfd_proxy_tpu.tools import mbench
+
+    src = inspect.getsource(mbench._build)
+    missing = [f for f in _MODEL_FIELDS if f"cfg.{f}" not in src]
+    assert not missing, f"_build drops model fields: {missing}"
+
+
+def test_build_honors_pack_force():
+    from cfd_proxy_tpu.mesh.generator import generate_mesh
+    from cfd_proxy_tpu.mesh.partition import partition_mesh
+    from cfd_proxy_tpu.tools.mbench import _build
+
+    m = generate_mesh(10, 9, 8, jitter=0.05, diag_frac=0.2, seed=0)
+    parts = partition_mesh(m, 1, ghost_layers=1)
+    cfg = SolverConfig(min_phases=3, fake_sends=256, pack_force="gather")
+    model = _build(cfg, parts)
+    assert model.pack_force == "gather"
+    assert "segs" not in model._pack_modes
+    assert "slice" not in model._pack_modes
+
+
 def test_mbench_shared_model_schedule_ab(capsys):
     """Schedule A/B on equal configs shares one model and emits the paired
     ratio line.  Tiny mesh + interpret mode: ratios are mechanics-only."""

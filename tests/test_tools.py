@@ -69,6 +69,25 @@ def test_scaling_model_rate_table(capsys):
     assert "constant (override)" in capsys.readouterr().out
 
 
+def test_shard_geometry_uses_production_layout():
+    """shard_geometry must build the comm-first relabeled layout: raw
+    partitions never satisfy the segmented-lane contiguity requirement, so
+    a raw-layout geometry silently charges pack_cols = every column and the
+    model never credits the built segmented pack (the bug the first
+    north-star evaluation had).  On a mesh whose shard boundary is one big
+    signature group, at least one phase must segment and pack_cols must sit
+    far below the charge-everything fallback."""
+    from cfd_proxy_tpu.mesh.generator import generate_mesh
+    from cfd_proxy_tpu.tools.scaling_model import shard_geometry
+
+    m = generate_mesh(24, 24, 24, jitter=0.05, diag_frac=0.2, seed=0)
+    geo = shard_geometry(m, 2)
+    assert all(len(s) == 5 for s in geo["shards"])
+    for nface, nfb, n_ici, n_dcn, pack_cols in geo["shards"]:
+        full = (n_ici + n_dcn) * geo["s_max"]
+        assert pack_cols < full / 2, (pack_cols, full)
+
+
 def test_scaling_model_multislice(capsys):
     """--slice-size charges inter-slice (DCN) phases at --dcn-gbps: with a
     slow DCN the modeled rates must drop strictly below the single-slice
