@@ -115,6 +115,7 @@ def _compact(o: dict) -> dict:
                 o.get("cpu_golden_c_dram_faces_per_sec"), 1e6),
             "est_gfps": _div(o["node_est_faces_per_sec"], 1e9),
             "x_est": o.get("vs_2socket_node_est"),
+            "x_maxest": o.get("vs_2socket_node_maxest"),
             "x_64c_legacy": o.get("vs_2socket_node_64c_est"),
             "x_at_gbps": o.get("vs_node_at_gbps"),
             "host_cores": o.get("host_cores"),
@@ -230,8 +231,66 @@ def _init_watchdog(seconds: float):
     return t
 
 
+def _emit_final(out: dict) -> None:
+    """The one stdout contract: full detail to stderr (FULL_JSON), then ONE
+    compact JSON line on stdout, shedding optional blocks before it can
+    outgrow the driver's 2000-char tail window (VERDICT r3 item 1).  Shared
+    by the healthy path and the mid-run watchdog so a wedged tunnel still
+    yields a parseable artifact with every completed row."""
+    from cfd_proxy_tpu.solver import _finite_or_none
+
+    # tiny meshes can sit below the dispatch-noise floor → NaN medians; emit
+    # null, not bare NaN (invalid strict JSON)
+    out = _finite_or_none(out)
+    log("FULL_JSON " + json.dumps(out))
+    comp = _sig(_compact(out))
+    if "error" in out:
+        comp["error"] = out["error"]
+    line = json.dumps(comp)
+    # belt and braces: if future rows grow the compact line past the
+    # window, shed optional blocks (least critical first) rather than
+    # letting the tail truncate the headline away again
+    for drop in ("small", "node", "mc_model", "reduced", "sched_ms"):
+        if len(line) <= 1900:
+            break
+        comp.pop(drop, None)
+        comp["dropped"] = comp.get("dropped", []) + [drop]
+        line = json.dumps(comp)
+    print(line, flush=True)
+
+
+def _run_watchdog(seconds: float, partial: dict):
+    """Stage-2 guard (the init watchdog covers only the first dispatch —
+    2026-08-20 the tunnel's remote end died and would have hung a bench
+    mid-run forever): if the TOTAL run exceeds the budget, emit whatever
+    rows completed through the normal compact final-line path, flagged with
+    an error field, and exit 4.  `partial` is the LIVE result dict main()
+    fills stage by stage; `last_stage` names the stage that wedged."""
+    import threading
+
+    def fire():
+        partial.setdefault("metric", "faces_per_sec_per_chip")
+        partial.setdefault("value", None)
+        partial.setdefault("unit", "faces/s")
+        partial.setdefault("vs_baseline", None)
+        partial["error"] = (
+            f"benchmark exceeded {seconds:.0f}s wall in stage "
+            f"{partial.get('last_stage', '?')!r} — axon tunnel wedged "
+            f"mid-run; partial rows emitted")
+        _emit_final(partial)
+        os._exit(4)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main() -> int:
-    wd = _init_watchdog(float(os.environ.get("BENCH_INIT_TIMEOUT_S", "420")))
+    # 900 s: 2026-08-20 a healthy-but-congested tunnel took 374 s for the
+    # trivial first dispatch — 420 s was marginal against mere slowness; the
+    # watchdog is for WEDGES, so give slowness headroom
+    wd = _init_watchdog(float(os.environ.get("BENCH_INIT_TIMEOUT_S", "900")))
     import jax
 
     platform = jax.default_backend()
@@ -257,9 +316,16 @@ def main() -> int:
 
     float(jax.jit(lambda x: (x + 1.0).sum())(jnp.zeros((8, 128))))
     wd.cancel()
+    # stage-2 guard: the first dispatch landing does not mean the tunnel
+    # stays up — guard the whole run so a mid-run wedge still produces a
+    # parseable artifact carrying every completed row
+    out: dict = {"last_stage": "cpu_golden"}
+    wd2 = _run_watchdog(
+        float(os.environ.get("BENCH_TOTAL_TIMEOUT_S", "3300")), out)
 
     cpu = measure_cpu_golden(16 if not on_tpu else 32)
     cpu_fps = cpu["numpy_fps"]
+    out["last_stage"] = "main_run"
 
     from cfd_proxy_tpu.solver import SolverConfig, run
 
@@ -284,7 +350,7 @@ def main() -> int:
     # overstates the margin by the np.add.at penalty (~24x) and is reported
     # separately as vs_baseline_numpy (VERDICT r1 item 3)
     base_fps = cpu.get("c1_fps", cpu_fps)
-    out = {
+    out.update({
         "metric": "faces_per_sec_per_chip",
         "value": float(fps),
         "unit": "faces/s",
@@ -297,7 +363,7 @@ def main() -> int:
         "schedule": head,
         "median_ms": entry["median_s"] * 1e3,
         "cpu_golden_faces_per_sec": float(cpu_fps),
-    }
+    })
     if schedule == "all":
         out["schedules"] = {
             s: {"faces_per_sec": e["faces_per_sec"],
@@ -314,6 +380,7 @@ def main() -> int:
         if out["overlap_efficiency"] is None:
             out["overlap_efficiency_note"] = ov.get(
                 "overlap_efficiency_note", "overlap schedule not timed")
+    out["last_stage"] = "reduced_precision"
     if (on_tpu and backend == "pallas"
             and os.environ.get("BENCH_BF16_ROW", "1") != "0"):
         # secondary row: the full reduced-precision mode (--src-dtype
@@ -366,6 +433,7 @@ def main() -> int:
             log(f"reduced-precision + bf16 grads: "
                 f"{e_bg['faces_per_sec']/1e9:.2f} Gf/s "
                 f"({e_bg['median_s']*1e3:.3f} ms)")
+    out["last_stage"] = "small_mesh"
     if (on_tpu and backend == "pallas" and schedule == "all"
             and os.environ.get("BENCH_SMALL_ROW", "1") != "0"):
         # small-mesh schedule row: the regime where the fused-RDMA overlap
@@ -395,6 +463,7 @@ def main() -> int:
         out["small_mesh"] = row
         log(f"small mesh nx={nx_s}: " + " ".join(
             f"{s}={e['faces_per_sec']/1e9:.2f}G" for s, e in sch.items()))
+    out["last_stage"] = "flux"
     if (on_tpu and backend == "pallas"
             and os.environ.get("BENCH_FLUX_ROW", "1") != "0"):
         # secondary-kernel row: the PSD upwind flux model (ops/flux.py,
@@ -413,6 +482,7 @@ def main() -> int:
         }
         log(f"flux bulk: {e_fx['faces_per_sec']/1e9:.2f} Gf/s "
             f"({e_fx['median_s']*1e3:.3f} ms)")
+    out["last_stage"] = "solver_mode"
     if (on_tpu and backend == "pallas"
             and os.environ.get("BENCH_SOLVER_MODE_ROW", "1") != "0"):
         # solver-mode row: the FULL per-time-step dataflow (sweep + state
@@ -439,6 +509,7 @@ def main() -> int:
         }
         log(f"solver-mode (gather/bp512): {e_sm['median_s']*1e3:.2f} ms/step "
             f"({e_sm['faces_per_sec']/1e9:.3f} Gf/s effective)")
+    out["last_stage"] = "multichip_model"
     if (on_tpu and os.environ.get("BENCH_MODEL_BLOCK", "1") != "0"):
         # multichip prediction block — MODEL, NOT MEASUREMENT (this sandbox
         # has one chip).  All sweep-side inputs are measured (the size-
@@ -547,27 +618,36 @@ def main() -> int:
                 and "bulk_gfps" in v))
         except Exception as e:  # model block must never sink the benchmark
             log(f"multichip model block skipped: {e}")
+    out["last_stage"] = "node_margins"
     if "c1_fps" in cpu:
         # honest denominators: the C loop is the reference's language;
         # NumPy overstates vs_baseline by the np.add.at penalty (~24x here)
         out["cpu_golden_c_faces_per_sec"] = float(cpu["c1_fps"])
         out["vs_baseline_c"] = float(fps / cpu["c1_fps"])
-        # 2-socket-node estimate, taken as the MORE OPTIMISTIC of two
-        # models so OUR margin stays conservative:
-        #  (a) 64 cores x the DRAM-bound 1-core rate, linear scaling —
-        #      ignores that 64 cores share the node's memory bus;
+        # 2-socket-node estimate from two mechanisms:
+        #  (a) 64 cores x the DRAM-bound 1-core rate, linear scaling;
         #  (b) the node bandwidth wall: the C loop moves ~816 B/face of
         #      DRAM traffic (faces 8 + normals 24 + 2 var rows 112 + grad
         #      read+write 672), so a BENCH_NODE_GBPS-class node (default
         #      500 GB/s, 2-socket server DDR) caps at BW/816 faces/s
         #      regardless of core count.
+        # PHYSICAL combination = min(a, b): the loop is measured
+        # memory-bound, so node throughput cannot exceed the node's DRAM
+        # bus no matter the core count — linear-64 applies only below the
+        # wall.  Round 3 took max(a, b) as "CPU-generous", which was
+        # harmless while a loaded host read c1_dram = 5.3 Mf/s (a < b); an
+        # IDLE host (round 4) reads 14.9 Mf/s, making linear-64 imply
+        # 778 GB/s of traffic on the assumed 500 GB/s bus — impossible, and
+        # it silently collapsed the bandwidth-sensitivity row too.  The
+        # uncapped max() margin is still recorded (vs_2socket_node_maxest)
+        # for round-3 continuity.
         # The round-2 single-number estimate (64 x cache-resident c1) mixed
-        # an L3-resident rate with a DRAM-bound workload; both inputs are
+        # an L3-resident rate with a DRAM-bound workload; every input is
         # recorded so the margin can be re-derived.
         c1d = cpu.get("c1_dram_fps", cpu["c1_fps"])
         node_lin = 64 * c1d
         node_bw = float(os.environ.get("BENCH_NODE_GBPS", "500")) * 1e9 / 816
-        node = max(node_lin, node_bw)
+        node = min(node_lin, node_bw)
         out["cpu_golden_c_dram_faces_per_sec"] = float(c1d)
         out["cpu_c_thread_fps"] = cpu.get("c_thread_fps")
         out["host_cores"] = cpu["host_cores"]
@@ -585,40 +665,25 @@ def main() -> int:
         # DDR5 2-socket), 800 an aggressive HBM-less upper bound.
         out["node_est_note"] = (
             "single-core host: node scaling unmeasurable in-sandbox; est = "
-            "max(64 x measured DRAM-bound core rate, node-BW wall at "
-            "measured 816 B/face)")
+            "min(64 x measured DRAM-bound core rate, node-BW wall at "
+            "measured 816 B/face) — memory-bound loop, so the bus wall "
+            "binds; round-3 max() key kept as vs_2socket_node_maxest")
         out["vs_node_at_gbps"] = {
-            str(g): float(fps / max(node_lin, g * 1e9 / 816))
+            str(g): float(fps / min(node_lin, g * 1e9 / 816))
             for g in (300, 500, 800)
         }
+        # round-3 continuity: the max() combination (unphysical when
+        # linear-64 exceeds the bus wall, as on an idle host)
+        out["vs_2socket_node_maxest"] = float(fps / max(node_lin, node_bw))
         # legacy key (round-1/2 continuity): 64 x the small-mesh c1 —
         # cache-resident, so on an idle host it overstates the node
         out["vs_2socket_node_64c_est"] = float(fps / (64 * cpu["c1_fps"]))
         if "reduced_precision" in out:
             out["reduced_precision"]["vs_2socket_node_est"] = float(
                 out["reduced_precision"]["faces_per_sec"] / node)
-    from cfd_proxy_tpu.solver import _finite_or_none
-
-    # tiny meshes can sit below the dispatch-noise floor → NaN medians; emit
-    # null, not bare NaN (invalid strict JSON)
-    out = _finite_or_none(out)
-    # full detail to stderr (humans / BASELINE.md); the committed stdout
-    # line is the COMPACT view — the driver's tail window is 2000 chars and
-    # round 3's full line outgrew it, losing the f32 headline from the
-    # artifact (VERDICT r3 item 1)
-    log("FULL_JSON " + json.dumps(out))
-    comp = _sig(_compact(out))
-    line = json.dumps(comp)
-    # belt and braces: if future rows grow the compact line past the
-    # window, shed optional blocks (least critical first) rather than
-    # letting the tail truncate the headline away again
-    for drop in ("small", "node", "mc_model", "reduced", "sched_ms"):
-        if len(line) <= 1900:
-            break
-        comp.pop(drop, None)
-        comp["dropped"] = comp.get("dropped", []) + [drop]
-        line = json.dumps(comp)
-    print(line)
+    wd2.cancel()
+    out.pop("last_stage", None)
+    _emit_final(out)
     return 0
 
 

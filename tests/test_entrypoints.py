@@ -28,6 +28,32 @@ def test_bench_main_cpu(monkeypatch, capsys):
     assert "value" in d and "vs_baseline" in d
 
 
+def test_run_watchdog_emits_partial(monkeypatch, capsys):
+    """The stage-2 (mid-run) watchdog: on fire it must emit the LIVE
+    partial result dict through the same compact final-line path the
+    healthy exit uses — parseable strict JSON carrying every completed row
+    plus an error naming the wedged stage — and exit 4.  (2026-08-20 the
+    axon tunnel's remote end died mid-session; without this a wedged bench
+    hangs forever and the round's BENCH artifact is empty.)"""
+    sys.path.insert(0, ".")
+    import bench
+
+    partial = {"metric": "faces_per_sec_per_chip", "value": 7.2e9,
+               "unit": "faces/s", "vs_baseline": 600.0,
+               "last_stage": "flux"}
+    t = bench._run_watchdog(9999, partial)
+    t.cancel()                      # fire synchronously below instead
+    codes = []
+    monkeypatch.setattr(bench.os, "_exit", codes.append)
+    t.function()
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    d = json.loads(line)            # strict JSON
+    assert d["metric"] == "faces_per_sec_per_chip"
+    assert d["value"] == pytest.approx(7.2e9)
+    assert "flux" in d["error"] and "wedged" in d["error"]
+    assert codes == [4]
+
+
 @pytest.mark.parametrize("n", [8])
 def test_dryrun_multichip(n):
     """The driver's multichip validation path at the conftest device count:
