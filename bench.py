@@ -231,6 +231,20 @@ def _init_watchdog(seconds: float):
     return t
 
 
+def _node_estimate(c1_dram_fps: float, gbps: float = 500.0,
+                   cores: int = 64, bytes_per_face: float = 816.0):
+    """Physical 2-socket-node throughput estimate for the memory-bound C
+    loop: linear core scaling CAPPED by the node's DRAM bus — min(linear,
+    wall).  Returns (node, linear, wall) faces/sec.  The wall (gbps x 1e9 /
+    bytes_per_face) is the stable anchor: c1_dram varies ~3x with sandbox
+    host load (5.3 Mf/s loaded -> 14.9 idle, rounds 3-4), while the bytes
+    per face are measured and the bandwidth is the stated assumption whose
+    sensitivity vs_node_at_gbps reports."""
+    lin = cores * c1_dram_fps
+    wall = gbps * 1e9 / bytes_per_face
+    return min(lin, wall), lin, wall
+
+
 def _emit_final(out: dict) -> None:
     """The one stdout contract: full detail to stderr (FULL_JSON), then ONE
     compact JSON line on stdout, shedding optional blocks before it can
@@ -645,9 +659,8 @@ def main() -> int:
         # an L3-resident rate with a DRAM-bound workload; every input is
         # recorded so the margin can be re-derived.
         c1d = cpu.get("c1_dram_fps", cpu["c1_fps"])
-        node_lin = 64 * c1d
-        node_bw = float(os.environ.get("BENCH_NODE_GBPS", "500")) * 1e9 / 816
-        node = min(node_lin, node_bw)
+        node, node_lin, node_bw = _node_estimate(
+            c1d, float(os.environ.get("BENCH_NODE_GBPS", "500")))
         out["cpu_golden_c_dram_faces_per_sec"] = float(c1d)
         out["cpu_c_thread_fps"] = cpu.get("c_thread_fps")
         out["host_cores"] = cpu["host_cores"]
@@ -669,7 +682,7 @@ def main() -> int:
             "measured 816 B/face) — memory-bound loop, so the bus wall "
             "binds; round-3 max() key kept as vs_2socket_node_maxest")
         out["vs_node_at_gbps"] = {
-            str(g): float(fps / min(node_lin, g * 1e9 / 816))
+            str(g): float(fps / _node_estimate(c1d, g)[0])
             for g in (300, 500, 800)
         }
         # round-3 continuity: the max() combination (unphysical when

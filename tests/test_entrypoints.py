@@ -28,6 +28,22 @@ def test_bench_main_cpu(monkeypatch, capsys):
     assert "value" in d and "vs_baseline" in d
 
 
+def test_node_estimate_physical():
+    """The 2-socket-node estimate is min(linear-64, bus wall): an idle
+    host's per-core DRAM rate (14.9 Mf/s, 2026-08-20) makes linear-64
+    imply 778 GB/s of traffic — above any assumed node bus, so the wall
+    must bind; a loaded host's depressed rate (5.3 Mf/s) stays below the
+    wall and linear scaling binds."""
+    sys.path.insert(0, ".")
+    import bench
+
+    node, lin, wall = bench._node_estimate(14.9e6, 500.0)
+    assert node == wall < lin                    # idle host: bus-capped
+    node2, lin2, wall2 = bench._node_estimate(5.3e6, 500.0)
+    assert node2 == lin2 < wall2                 # loaded host: core-capped
+    assert wall == wall2 == pytest.approx(500e9 / 816)
+
+
 def test_run_watchdog_emits_partial(monkeypatch, capsys):
     """The stage-2 (mid-run) watchdog: on fire it must emit the LIVE
     partial result dict through the same compact final-line path the
