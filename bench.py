@@ -22,6 +22,7 @@ BENCH_BP (default: the model's auto rule — 4096 at the headline size,
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
@@ -29,6 +30,30 @@ import numpy as np
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+# exactly-once guard for the final stdout line: the healthy path and the
+# mid-run watchdog can race at the very end of a run (timer fires between the
+# last stage and wd2.cancel()), and two final lines — or a truncated one, if
+# fire()'s os._exit lands mid-write — would break the driver's parse of the
+# last line (advisor r4)
+_EMIT_LOCK = threading.Lock()
+_EMITTED = False
+
+
+def _finite_or_none(obj):
+    """NaN/inf → None recursively (bare NaN is invalid strict JSON).  Local
+    copy of solver._finite_or_none: the watchdog thread calls _emit_final,
+    and importing cfd_proxy_tpu.solver from that thread could deadlock on the
+    import lock if the main thread wedged during that module's first import
+    (advisor r4)."""
+    if isinstance(obj, dict):
+        return {k: _finite_or_none(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_finite_or_none(v) for v in obj]
+    if isinstance(obj, float) and not np.isfinite(obj):
+        return None
+    return obj
 
 
 def _sig(x, n=4):
@@ -100,14 +125,20 @@ def _compact(o: dict) -> dict:
     mc = o.get("multichip_model")
     if mc:
         m = {"note": "MODEL not measurement; rows=[bulk_gfps, ovl_gfps, "
-                     "eff_hide, eff_solverdef (gate metric)]"}
+                     "eff_hide, eff_solverdef (gate metric), "
+                     "exposed_comm_us, ovl_x_bulk]"}
         for k, v in mc.items():
             if isinstance(v, dict) and "bulk_gfps" in v:
                 m[k] = [v.get("bulk_gfps"), v.get("overlap_gfps"),
-                        v.get("eff_hide"), v.get("eff_solverdef")]
+                        v.get("eff_hide"), v.get("eff_solverdef"),
+                        v.get("exposed_comm_us"), v.get("ovl_x_bulk")]
         sens = mc.get("strong_P8_eff_solverdef_vs_pack_ns_per_col")
         if sens:
             m["effS_P8_vs_pack_ns"] = sens
+        cross = mc.get("crossing_ge85_shard_faces_P8")
+        if cross:
+            m["cross85_P8_shard_faces"] = {
+                k: v for k, v in cross.items() if k != "note"}
         c["mc_model"] = m
     if o.get("node_est_faces_per_sec") is not None:
         c["node"] = {
@@ -209,26 +240,68 @@ def measure_cpu_golden(nx: int = 32) -> dict:
     return out
 
 
-def _init_watchdog(seconds: float):
+class _InitWatchdog:
     """If TPU/backend init wedges (a stale pool grant can block the claim
     indefinitely — observed 2026-08-19 after a SIGKILLed benchmark run), die
     LOUDLY with a parseable final JSON line instead of hanging forever and
-    leaving an empty BENCH artifact.  Cancel once the first device op lands."""
-    import threading
+    leaving an empty BENCH artifact.  Cancel once the first device op lands.
 
-    def fire():
-        print(json.dumps({
-            "metric": "faces_per_sec_per_chip", "value": None,
-            "unit": "faces/s", "vs_baseline": None,
-            "error": f"backend init exceeded {seconds:.0f}s — axon tunnel/"
-                     f"pool grant wedged; last good numbers in BASELINE.md",
-        }), flush=True)
+    Round-5 hardening (VERDICT r4 weak #1): on expiry the watchdog does NOT
+    exit immediately — it waits one extra cool-down window for the in-flight
+    dispatch to land (the 2026-08-20 congestion episode showed a claim that
+    LOOKED wedged landing after 374 s; the main thread's original dispatch
+    IS the single patient probe CLAUDE.md's operating notes call for — no
+    new probes are spawned).  If it still hasn't landed, a best-effort clean
+    backend shutdown runs before exit, so the abrupt death doesn't leave the
+    stale server-side grant that wedged the NEXT claim in round 4."""
+
+    def __init__(self, seconds: float, cooldown: float = 120.0):
+        self.seconds = seconds
+        self.cooldown = cooldown
+        self.done = threading.Event()
+        self._t = threading.Timer(seconds, self._fire)
+        self._t.daemon = True
+        self._t.start()
+
+    def cancel(self):
+        self.done.set()
+        self._t.cancel()
+
+    def _fire(self):
+        if self.done.wait(self.cooldown):
+            return          # the patient re-check: dispatch landed late
+        try:
+            print(json.dumps({
+                "metric": "faces_per_sec_per_chip", "value": None,
+                "unit": "faces/s", "vs_baseline": None,
+                "error": f"backend init exceeded "
+                         f"{self.seconds + self.cooldown:.0f}s (incl. "
+                         f"{self.cooldown:.0f}s cool-down re-check) — axon "
+                         f"tunnel/pool grant wedged; last good numbers in "
+                         f"BASELINE.md",
+            }), flush=True)
+        except Exception:
+            pass
+        # best-effort clean shutdown from a bounded helper thread (the main
+        # thread is stuck inside the dispatch); daemon + join-timeout so a
+        # hanging teardown can't hold the exit
+        th = threading.Thread(target=self._shutdown, daemon=True)
+        th.start()
+        th.join(30.0)
         os._exit(3)
 
-    t = threading.Timer(seconds, fire)
-    t.daemon = True
-    t.start()
-    return t
+    @staticmethod
+    def _shutdown():
+        try:
+            import jax
+
+            jax.clear_backends()
+        except Exception:
+            pass
+
+
+def _init_watchdog(seconds: float):
+    return _InitWatchdog(seconds)
 
 
 def _node_estimate(c1_dram_fps: float, gbps: float = 500.0,
@@ -250,9 +323,13 @@ def _emit_final(out: dict) -> None:
     compact JSON line on stdout, shedding optional blocks before it can
     outgrow the driver's 2000-char tail window (VERDICT r3 item 1).  Shared
     by the healthy path and the mid-run watchdog so a wedged tunnel still
-    yields a parseable artifact with every completed row."""
-    from cfd_proxy_tpu.solver import _finite_or_none
-
+    yields a parseable artifact with every completed row.  Exactly-once: the
+    first caller (healthy path or watchdog) wins; the loser is a no-op."""
+    global _EMITTED
+    with _EMIT_LOCK:
+        if _EMITTED:
+            return
+        _EMITTED = True
     # tiny meshes can sit below the dispatch-noise floor → NaN medians; emit
     # null, not bare NaN (invalid strict JSON)
     out = _finite_or_none(out)
@@ -273,31 +350,93 @@ def _emit_final(out: dict) -> None:
     print(line, flush=True)
 
 
-def _run_watchdog(seconds: float, partial: dict):
+class _RunWatchdog:
     """Stage-2 guard (the init watchdog covers only the first dispatch —
     2026-08-20 the tunnel's remote end died and would have hung a bench
     mid-run forever): if the TOTAL run exceeds the budget, emit whatever
     rows completed through the normal compact final-line path, flagged with
     an error field, and exit 4.  `partial` is the LIVE result dict main()
-    fills stage by stage; `last_stage` names the stage that wedged."""
-    import threading
+    fills stage by stage; `last_stage` names the stage that wedged.
 
-    def fire():
-        partial.setdefault("metric", "faces_per_sec_per_chip")
-        partial.setdefault("value", None)
-        partial.setdefault("unit", "faces/s")
-        partial.setdefault("vs_baseline", None)
-        partial["error"] = (
-            f"benchmark exceeded {seconds:.0f}s wall in stage "
-            f"{partial.get('last_stage', '?')!r} — axon tunnel wedged "
-            f"mid-run; partial rows emitted")
-        _emit_final(partial)
-        os._exit(4)
+    Advisor-r4 hardening: fire() snapshots the live dict (main() may still
+    be mutating it — a concurrent update could raise inside json.dumps and
+    kill the emission), guards its whole body so a failure still prints a
+    minimal parseable line, and exits in a finally.  `extend()` lets main()
+    grow the budget after a measured cold-compile-scale first stage (a cold
+    Mosaic cache is ~4 min per (bp, EP, K, grid) config × ~8 configs — a
+    HEALTHY first run after a cache flush can exceed the default)."""
 
-    t = threading.Timer(seconds, fire)
-    t.daemon = True
-    t.start()
-    return t
+    def __init__(self, seconds: float, partial: dict):
+        global _EMITTED
+        self.seconds = seconds
+        self.partial = partial
+        self._lock = threading.Lock()
+        self._cancelled = False
+        self.function = self._fire      # Timer-compatible handle (tests)
+        # arming the run watchdog marks the start of a fresh run: reset the
+        # exactly-once emission flag so this run gets its one final line
+        with _EMIT_LOCK:
+            _EMITTED = False
+        self._arm(seconds)
+
+    def _arm(self, s: float):
+        t = threading.Timer(s, self._fire)
+        t.daemon = True
+        t.start()
+        self._t = t
+
+    def cancel(self):
+        with self._lock:
+            self._cancelled = True
+            self._t.cancel()
+
+    def extend(self, extra_s: float):
+        """Re-arm for extra_s seconds from NOW (cold-cache budget growth)."""
+        with self._lock:
+            if self._cancelled:
+                return
+            self._t.cancel()
+            self.seconds += extra_s
+            self._arm(extra_s)
+
+    def _fire(self):
+        try:
+            snap = None
+            for _ in range(3):      # live-dict snapshot; retry on races
+                try:
+                    snap = json.loads(json.dumps(self.partial, default=str))
+                    break
+                except Exception:
+                    time.sleep(0.05)
+            if snap is None:
+                snap = {"last_stage": self.partial.get("last_stage", "?")}
+            snap.setdefault("metric", "faces_per_sec_per_chip")
+            snap.setdefault("value", None)
+            snap.setdefault("unit", "faces/s")
+            snap.setdefault("vs_baseline", None)
+            snap["error"] = (
+                f"benchmark exceeded {self.seconds:.0f}s wall in stage "
+                f"{snap.get('last_stage', '?')!r} — axon tunnel wedged "
+                f"mid-run, OR a cold Mosaic compile cache (~4 min/config; "
+                f"re-run warm to distinguish); partial rows emitted")
+            _emit_final(snap)
+        except Exception as e:
+            try:
+                print(json.dumps({
+                    "metric": "faces_per_sec_per_chip", "value": None,
+                    "unit": "faces/s", "vs_baseline": None,
+                    "error": f"run watchdog fired and emission failed "
+                             f"({type(e).__name__}); stage "
+                             f"{self.partial.get('last_stage', '?')!r}",
+                }), flush=True)
+            except Exception:
+                pass
+        finally:
+            os._exit(4)
+
+
+def _run_watchdog(seconds: float, partial: dict):
+    return _RunWatchdog(seconds, partial)
 
 
 def main() -> int:
@@ -354,7 +493,16 @@ def main() -> int:
     )
     t0 = time.perf_counter()
     results, _stats = run(cfg)
-    log(f"run wall {time.perf_counter() - t0:.1f}s")
+    main_wall = time.perf_counter() - t0
+    log(f"run wall {main_wall:.1f}s")
+    if main_wall > 400.0:
+        # cold-compile-scale first stage (warm is ~60-90 s): the remaining
+        # stages compile ~6 more configs at ~4 min each cold — grow the
+        # budget so a healthy cold-cache run isn't killed at exit 4
+        # (advisor r4 low #2)
+        wd2.extend(2400.0)
+        log(f"cold-cache scale first stage ({main_wall:.0f}s) — run "
+            f"watchdog extended 2400s")
 
     head = "bulk" if schedule == "all" else schedule
     entry = results["schedules"][head]
@@ -524,7 +672,10 @@ def main() -> int:
         log(f"solver-mode (gather/bp512): {e_sm['median_s']*1e3:.2f} ms/step "
             f"({e_sm['faces_per_sec']/1e9:.3f} Gf/s effective)")
     out["last_stage"] = "multichip_model"
-    if (on_tpu and os.environ.get("BENCH_MODEL_BLOCK", "1") != "0"):
+    # BENCH_MODEL_BLOCK=force runs the (host-side, hardware-independent)
+    # model block on CPU too — used by tests to cover the crossing sweep
+    if ((on_tpu or os.environ.get("BENCH_MODEL_BLOCK") == "force")
+            and os.environ.get("BENCH_MODEL_BLOCK", "1") != "0"):
         # multichip prediction block — MODEL, NOT MEASUREMENT (this sandbox
         # has one chip).  All sweep-side inputs are measured (the size-
         # dependent rate table + the 70 us fixed costs); the ICI GB/s are
@@ -566,6 +717,15 @@ def main() -> int:
                     "overlap_gfps": r["nface"] / r["t_over"] / 1e9,
                     "eff_hide": r["eff_hide"],
                     "eff_solverdef": r["eff_solverdef"],
+                    # ABSOLUTE companions to the gate metric (VERDICT r4
+                    # weak #2: eff_solverdef's value degrades when a SHARED
+                    # cost shrinks — improvements that speed up both
+                    # schedules narrow bulk's comm slack; these two move
+                    # monotonically with real improvement):
+                    # exposed_comm_us = what the overlap schedule fails to
+                    # hide per step; ovl_x_bulk = overlap-vs-bulk speedup
+                    "exposed_comm_us": (r["t_over"] - r["t_nocomm"]) * 1e6,
+                    "ovl_x_bulk": r["t_bulk"] / r["t_over"],
                 }
 
             gm = generate_mesh(nx, nx, nx, jitter=0.05, diag_frac=0.2,
@@ -615,7 +775,8 @@ def main() -> int:
                 nxw = int(os.environ.get("BENCH_NORTHSTAR_NX", "192"))
                 gmw = generate_mesh(nxw, nxw, nxw, jitter=0.05,
                                     diag_frac=0.2, seed=0)
-                geow = shard_geometry(gmw, 8)
+                geo_cache = {nxw: shard_geometry(gmw, 8)}
+                geow = geo_cache[nxw]
                 block["weak_F6class_P8_v5e"] = row(geow, V5E_ICI_GBPS, rt)
                 block["northstar_weak_F6class_P8_v5p"] = {
                     **row(geow, V5P_ICI_GBPS,
@@ -624,6 +785,69 @@ def main() -> int:
                             "scaled F6-class shards); gate metric is "
                             "eff_solverdef",
                 }
+            else:
+                geo_cache = {}
+            if os.environ.get("BENCH_CROSSING", "1") != "0":
+                # the strong-scaling CROSSING story (VERDICT r4 item 2):
+                # eff_solverdef vs shard size at P=8 for {v5e, v5p} ×
+                # {f32, bf16 halos}, and the smallest shard size where the
+                # ≥85% gate holds.  The v5p rows reuse the HBM-scaled rate
+                # table (valid at plateau sizes; at small shards the
+                # dispatch-floor-dominated rate does NOT scale, making the
+                # v5p sweep optimistically fast there — a faster sweep
+                # hides LESS, so the reported crossing is conservative).
+                geo_cache[nx] = geo8
+                nxs = [int(s) for s in os.environ.get(
+                    "BENCH_CROSSING_NX", "48,64,96,128,160,192").split(",")]
+                rt_p = scale_rate_table(rt, V5E_HBM_GBPS / V5P_HBM_GBPS)
+                cfgs = {"v5e_f32": (V5E_ICI_GBPS, rt, 4),
+                        "v5e_bf16halo": (V5E_ICI_GBPS, rt, 2),
+                        "v5p_f32": (V5P_ICI_GBPS, rt_p, 4),
+                        "v5p_bf16halo": (V5P_ICI_GBPS, rt_p, 2)}
+                curves = {k: [] for k in cfgs}
+                for nx_c in nxs:
+                    if nx_c not in geo_cache:
+                        gm_c = generate_mesh(nx_c, nx_c, nx_c, jitter=0.05,
+                                             diag_frac=0.2, seed=0)
+                        geo_cache[nx_c] = shard_geometry(gm_c, 8)
+                    geo_c = geo_cache[nx_c]
+                    sf = geo_c["nface_total"] // 8
+                    for ck, (ici, tab, hb) in cfgs.items():
+                        r = row(geo_c, ici, tab, halo_bytes=hb)
+                        curves[ck].append({
+                            "shard_faces": sf,
+                            "eff_solverdef": r["eff_solverdef"],
+                            "exposed_comm_us": r["exposed_comm_us"],
+                            "ovl_x_bulk": r["ovl_x_bulk"],
+                        })
+                crossing = {}
+                for ck, cv in curves.items():
+                    # smallest measured size meeting the gate, plus a
+                    # log-size interpolated estimate when bracketed
+                    cross = None
+                    for i, e in enumerate(cv):
+                        eff = e["eff_solverdef"]
+                        if eff is not None and eff >= 0.85:
+                            cross = e["shard_faces"]
+                            if i > 0 and cv[i - 1]["eff_solverdef"] is not None:
+                                e0, e1 = cv[i - 1], e
+                                f = ((0.85 - e0["eff_solverdef"])
+                                     / (eff - e0["eff_solverdef"]))
+                                cross = int(np.exp(
+                                    np.log(e0["shard_faces"]) * (1 - f)
+                                    + np.log(e1["shard_faces"]) * f))
+                            break
+                    crossing[ck] = cross
+                block["eff_vs_shard_faces_P8"] = curves
+                block["crossing_ge85_shard_faces_P8"] = {
+                    **crossing,
+                    "note": "smallest P=8 shard size (faces) where "
+                            "eff_solverdef >= 0.85 (log-interpolated "
+                            "between table sizes); null = gate not met "
+                            "at any tabled size",
+                }
+                log("crossing (gate >= 0.85, shard faces): " + " ".join(
+                    f"{k}={v}" for k, v in crossing.items()))
             out["multichip_model"] = block
             log("multichip MODEL: " + " ".join(
                 f"{k}: bulk={v['bulk_gfps']:.1f}G ovl={v['overlap_gfps']:.1f}G"
@@ -680,7 +904,11 @@ def main() -> int:
             "single-core host: node scaling unmeasurable in-sandbox; est = "
             "min(64 x measured DRAM-bound core rate, node-BW wall at "
             "measured 816 B/face) — memory-bound loop, so the bus wall "
-            "binds; round-3 max() key kept as vs_2socket_node_maxest")
+            "binds; round-3 max() key kept as vs_2socket_node_maxest. "
+            "The wall assumes NO cache reuse on the node (all 816 B/face "
+            "from DRAM every sweep); shared-L3 reuse on a real 64-core "
+            "node would raise the wall and shrink this margin — the gate "
+            "verdict should be read against BOTH est and maxest keys")
         out["vs_node_at_gbps"] = {
             str(g): float(fps / _node_estimate(c1d, g)[0])
             for g in (300, 500, 800)
@@ -692,8 +920,13 @@ def main() -> int:
         # cache-resident, so on an idle host it overstates the node
         out["vs_2socket_node_64c_est"] = float(fps / (64 * cpu["c1_fps"]))
         if "reduced_precision" in out:
+            rp_fps = out["reduced_precision"]["faces_per_sec"]
             out["reduced_precision"]["vs_2socket_node_est"] = float(
-                out["reduced_precision"]["faces_per_sec"] / node)
+                rp_fps / node)
+            # maxest companion (advisor r4 low #3): the gate claim should
+            # not ride on the round-4 min() methodology switch alone
+            out["reduced_precision"]["vs_2socket_node_maxest"] = float(
+                rp_fps / max(node_lin, node_bw))
     wd2.cancel()
     out.pop("last_stage", None)
     _emit_final(out)

