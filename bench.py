@@ -122,6 +122,10 @@ def _compact(o: dict) -> dict:
         c["flux_gfps"] = _div(o["flux"].get("faces_per_sec"), 1e9)
     if o.get("solver_mode"):
         c["solver_ms"] = o["solver_mode"].get("ms_per_step")
+        sw = o["solver_mode"].get("sweeps_per_step")
+        if sw:
+            c["solver_ms_per_sweep"] = {
+                n: e.get("ms_per_sweep") for n, e in sw.items()}
     mc = o.get("multichip_model")
     if mc:
         m = {"note": "MODEL not measurement; rows=[bulk_gfps, ovl_gfps, "
@@ -671,6 +675,30 @@ def main() -> int:
         }
         log(f"solver-mode (gather/bp512): {e_sm['median_s']*1e3:.2f} ms/step "
             f"({e_sm['faces_per_sec']/1e9:.3f} Gf/s effective)")
+        sweeps_env = os.environ.get("BENCH_SOLVER_SWEEPS", "2,4")
+        if sweeps_env:
+            # multi-stage amortization axis (VERDICT r4 item 5): gradient
+            # evaluations per table rebuild.  The rebuild (~4.3 ms at 2.8M,
+            # both gather mechanisms measured at their walls) amortizes
+            # over N sweeps; ms_per_sweep is the per-gradient-evaluation
+            # cost a multi-stage solver would actually pay.
+            tbl = {}
+            for n_sw in [int(s) for s in sweeps_env.split(",") if s]:
+                res_n, _ = run(_replace(
+                    cfg, schedule="bulk", kernel="gather", bp=512,
+                    force_rdma=False, solver_mode=True,
+                    sweeps_per_step=n_sw, iters=max(50, iters // 6)))
+                e_n = res_n["schedules"]["bulk"]
+                tbl[str(n_sw)] = {
+                    "ms_per_step": e_n["median_s"] * 1e3,
+                    "ms_per_sweep": e_n["median_s"] * 1e3 / n_sw,
+                    "effective_faces_per_sec": e_n["faces_per_sec"],
+                }
+                log(f"solver-mode sweeps={n_sw}: "
+                    f"{e_n['median_s']*1e3:.2f} ms/step "
+                    f"({e_n['median_s']*1e3/n_sw:.2f} ms/sweep, "
+                    f"{e_n['faces_per_sec']/1e9:.3f} Gf/s effective)")
+            out["solver_mode"]["sweeps_per_step"] = tbl
     out["last_stage"] = "multichip_model"
     # BENCH_MODEL_BLOCK=force runs the (host-side, hardware-independent)
     # model block on CPU too — used by tests to cover the crossing sweep

@@ -936,7 +936,7 @@ class GreenGaussPallas:
         return self.step_fn(schedule)(*self.iter_args(state))
 
     def iterate_fn(self, schedule: str, n: int, solver_mode: bool = False,
-                   **_kw):
+                   sweeps_per_step: int = 1, **_kw):
         """Chained n-iteration runner (see GreenGaussModel.iterate_fn).
 
         n is passed as a RUNTIME loop bound (fori_loop), so every n shares one
@@ -949,11 +949,29 @@ class GreenGaussPallas:
         itself never does this — its timed iteration exchanges gradients
         over static state (SURVEY.md §4.2) — so this is reported as a
         separate row, never the headline.
+
+        sweeps_per_step (solver mode only): gradient evaluations per table
+        rebuild.  A real multi-stage solver (RK stages, multigrid smoothing)
+        re-evaluates gradients more often than the state drifts enough to
+        warrant a full source-table re-pack — the rebuild is the dominant
+        per-step cost (BASELINE.md solver-mode attribution: ~4.3 ms/step is
+        exts-gather + pack walls), so amortizing it over N sweeps is the one
+        legitimate lever on that row.  Each step: rebuild tables once from
+        the carried state, then N× (sweep incl. gradient exchange + toy
+        state update), then one var halo exchange.  The intermediate sweeps
+        intentionally read the step's tables (stale by the toy update) —
+        exactly the staleness a stage-loop solver accepts.
         """
         check(not _kw.get("exact"),
               "exact mode is the XLA backend's; use GreenGaussModel")
+        check(sweeps_per_step >= 1, "sweeps_per_step must be >= 1, got %d",
+              sweeps_per_step)
+        check(sweeps_per_step == 1 or solver_mode,
+              "sweeps_per_step only applies to solver_mode (static "
+              "iteration never rebuilds tables)")
         if solver_mode:
-            return self._solver_iterate_fn(schedule, n)
+            return self._solver_iterate_fn(schedule, n,
+                                           sweeps=int(sweeps_per_step))
         key = ("iterate", schedule)
         if key not in self._step_cache:
             step = self.step_fn(schedule)
@@ -990,8 +1008,8 @@ class GreenGaussPallas:
 
         return checked
 
-    def _solver_iterate_fn(self, schedule: str, n: int):
-        key = ("solver_iterate", schedule)
+    def _solver_iterate_fn(self, schedule: str, n: int, sweeps: int = 1):
+        key = ("solver_iterate", schedule, sweeps)
         if key not in self._step_cache:
             step = self.step_fn(schedule)
             exch = self._var_exchange_fn()
@@ -1020,10 +1038,18 @@ class GreenGaussPallas:
                     tb = dict(stub_tbl)
                     tb.update(zip(needed,
                                   tables(v, *[plans[c] for c in needed])))
-                    g = step(v, tb["bulk"], tb["boundary"], tb["interior"],
-                             send_idx, send_mask, pack_scale,
-                             dsts, srcs, pb, pbd, pi)
-                    v2 = v + 1e-30 * g[:, :NV, :]     # toy state update
+
+                    def stage(_j, vs):
+                        # one gradient evaluation (incl. its halo exchange)
+                        # + toy update, against the STEP's tables — the
+                        # multi-stage amortization (sweeps_per_step)
+                        g = step(vs, tb["bulk"], tb["boundary"],
+                                 tb["interior"], send_idx, send_mask,
+                                 pack_scale, dsts, srcs, pb, pbd, pi)
+                        return vs + 1e-30 * g[:, :NV, :]
+
+                    v2 = (stage(0, v) if sweeps == 1
+                          else jax.lax.fori_loop(0, sweeps, stage, v))
                     return exch(v2, send_idx, send_mask)
 
                 return jax.lax.fori_loop(0, n, body, var_T)

@@ -109,6 +109,11 @@ class SolverConfig:
                                 # (sweep + state update + var halo exchange
                                 # + table rebuild) instead of the proxy's
                                 # static-state iteration; pallas backend only
+    sweeps_per_step: int = 1    # solver-mode only: gradient evaluations per
+                                # table rebuild — a multi-stage solver (RK
+                                # stages, multigrid) re-evaluates gradients
+                                # more often than it re-packs; amortizes the
+                                # rebuild-bound per-step cost (BASELINE.md)
     verify: bool = True
     json_out: bool = False
     profile_dir: str | None = None   # jax.profiler trace output (optional)
@@ -206,13 +211,14 @@ def _sync_scalar(out) -> float:
 
 def time_schedule(
     model, var, schedule: str, iters: int, warmup: int, repeats: int = 3,
-    solver_mode: bool = False,
+    solver_mode: bool = False, sweeps_per_step: int = 1,
 ) -> IterationStats:
     """Two-point timing: run chained loops of n0 and n0+iters iterations in
     single dispatches; the difference isolates per-iteration time from the
     per-dispatch overhead (~30 ms through the tunnel)."""
     n0 = max(1, iters // 10)
-    kw = {"solver_mode": True} if solver_mode else {}
+    kw = ({"solver_mode": True, "sweeps_per_step": sweeps_per_step}
+          if solver_mode else {})
     small = model.iterate_fn(schedule, n0, **kw)
     big = model.iterate_fn(schedule, n0 + iters, **kw)
     args = model.iter_args(var)
@@ -258,6 +264,9 @@ def run(cfg: SolverConfig) -> tuple[dict, list[IterationStats]]:
                 f"set the platform before any jax use)")
     if cfg.solver_mode and cfg.backend != "pallas":
         raise SystemExit("--solver-mode requires the pallas backend")
+    if cfg.sweeps_per_step > 1 and not cfg.solver_mode:
+        raise SystemExit("--sweeps-per-step requires --solver-mode (the "
+                         "static iteration never rebuilds tables)")
     model, gmesh = build_model(cfg)
     nface_total = sum(p.nface for p in model.parts)
     npoint_total = sum(p.nowned for p in model.parts)
@@ -285,6 +294,7 @@ def run(cfg: SolverConfig) -> tuple[dict, list[IterationStats]]:
         "src_dtype": cfg.src_dtype,
         "grad_dtype": cfg.grad_dtype,
         "solver_mode": cfg.solver_mode,
+        "sweeps_per_step": cfg.sweeps_per_step if cfg.solver_mode else None,
         "backend": cfg.backend,
         "kernel": cfg.kernel,
         # effective block size (the model caps cfg.bp at the shard size)
@@ -313,16 +323,23 @@ def run(cfg: SolverConfig) -> tuple[dict, list[IterationStats]]:
         nocomm = None
         if len(schedules) > 1:
             nocomm = time_schedule(model, var, "nocomm", cfg.iters, cfg.warmup,
-                                   solver_mode=cfg.solver_mode)
+                                   solver_mode=cfg.solver_mode,
+                                   sweeps_per_step=cfg.sweeps_per_step)
         bulk_med = None
         for s in schedules:
             st = time_schedule(model, var, s, cfg.iters, cfg.warmup,
-                               solver_mode=cfg.solver_mode)
+                               solver_mode=cfg.solver_mode,
+                               sweeps_per_step=cfg.sweeps_per_step)
             all_stats.append(st)
             if s == "bulk":
                 bulk_med = st.median
             entry = st.summary()
-            entry["faces_per_sec"] = nface_total / st.median
+            # solver mode with N>1 sweeps/step evaluates gradients over
+            # nface N times per timed iteration — faces/sec counts SWEPT
+            # faces so the amortization shows up as effective throughput
+            sweeps = (cfg.sweeps_per_step
+                      if cfg.solver_mode and cfg.sweeps_per_step > 1 else 1)
+            entry["faces_per_sec"] = nface_total * sweeps / st.median
             results["schedules"][s] = entry
         if nocomm is not None:
             all_stats.append(nocomm)
@@ -503,6 +520,11 @@ def main(argv=None) -> int:
                          "state update + var halo exchange + source-table "
                          "rebuild) instead of the proxy's static-state "
                          "iteration (pallas backend)")
+    ap.add_argument("--sweeps-per-step", type=int, default=1,
+                    help="solver-mode only: gradient evaluations (sweep + "
+                         "gradient exchange + toy update) per source-table "
+                         "rebuild — the multi-stage-solver amortization of "
+                         "the rebuild-bound per-step cost (BASELINE.md)")
     ap.add_argument("--min-phases", type=int, default=1,
                     help="pad the exchange schedule to this many self-send "
                          "phases (multi-phase RDMA machinery on one chip)")
@@ -556,6 +578,7 @@ def main(argv=None) -> int:
         diag_frac=args.diag_frac, stretch=args.stretch, seed=args.seed,
         platform=args.platform,
         solver_mode=args.solver_mode,
+        sweeps_per_step=args.sweeps_per_step,
         verify=not args.no_verify, json_out=args.json,
         profile_dir=args.profile_dir,
     )

@@ -361,6 +361,35 @@ def test_solver_iterate_matches_manual_composition(mesh, gvar, kernel,
     np.testing.assert_array_equal(got, want)
 
 
+def test_solver_iterate_sweeps_matches_manual(mesh, gvar):
+    """sweeps_per_step=2 (the multi-stage amortization axis): one rebuild,
+    then two sweep+update stages against the SAME tables (stale by the toy
+    update — exactly what a stage-loop solver accepts), then one var
+    exchange.  Must equal the manual composition bitwise on var_T."""
+    parts = partition_mesh(mesh, 4)
+    model = GreenGaussPallas(parts, NVAR, bp=128, interpret=True,
+                             kernel="gather")
+    state = model.distribute_state(gvar)
+    got = np.asarray(model.iterate_fn(
+        "bulk", 1, solver_mode=True, sweeps_per_step=2)(
+        *model.iter_args(state)))
+    v = state["var_T"]
+    for _ in range(2):
+        g = model.step({**state, "var_T": v}, "bulk")
+        v = v + 1e-30 * g[:, : g.shape[1] // 3, :][:, :8, :]
+    want = np.asarray(model.refresh_state(v)["var_T"])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sweeps_per_step_requires_solver_mode(mesh, gvar):
+    from cfd_proxy_tpu.utils.errors import CheckError
+
+    parts = partition_mesh(mesh, 2)
+    model = GreenGaussPallas(parts, NVAR, bp=128, interpret=True)
+    with pytest.raises(CheckError):
+        model.iterate_fn("bulk", 1, sweeps_per_step=2)
+
+
 def test_solver_mode_flux_runs(mesh, gvar):
     """Solver mode is model-agnostic: the flux op's per-step dataflow
     (sweep + update + var exchange + table rebuild) runs fused and stays

@@ -66,6 +66,27 @@ def test_cli_solver_mode(capsys):
     assert d["kernel"] == "gather"
 
 
+def test_cli_solver_mode_sweeps(capsys):
+    """--sweeps-per-step N: the multi-stage amortization axis — recorded in
+    the JSON, and faces/sec counts SWEPT faces (N gradient evaluations per
+    timed step)."""
+    rc = main(["--nx", "8", "--ny", "8", "--nz", "7", "--parts", "2",
+               "--iters", "2", "--schedule", "bulk", "--solver-mode",
+               "--sweeps-per-step", "3", "--no-verify", "--json"])
+    assert rc == 0
+    d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert d["sweeps_per_step"] == 3
+    e = d["schedules"]["bulk"]
+    if e["median_s"] is not None:   # tiny meshes can sit below noise floor
+        assert e["faces_per_sec"] == pytest.approx(
+            3 * d["nface"] / e["median_s"])
+
+
+def test_cli_sweeps_requires_solver_mode():
+    with pytest.raises(SystemExit, match="solver-mode"):
+        main(["--nx", "8", "--parts", "1", "--sweeps-per-step", "2"])
+
+
 def test_cli_solver_mode_kernel_override(capsys):
     """--kernel packed under --solver-mode is honored (the gather default
     applies only when --kernel is omitted)."""
