@@ -681,20 +681,26 @@ def main() -> int:
             # evaluations per table rebuild.  The rebuild (~4.3 ms at 2.8M,
             # both gather mechanisms measured at their walls) amortizes
             # over N sweeps; ms_per_sweep is the per-gradient-evaluation
-            # cost a multi-stage solver would actually pay.
+            # cost a multi-stage solver would actually pay.  Each N runs
+            # its DECIDED kernel config (round-5 paired verdicts: gather/
+            # 512 wins at N<=2, packed/auto from N=4 — the rebuild/sweep
+            # trade re-weights as the rebuild amortizes).
             tbl = {}
             for n_sw in [int(s) for s in sweeps_env.split(",") if s]:
+                kern, bp_n = (("gather", 512) if n_sw <= 2
+                              else ("packed", None))
                 res_n, _ = run(_replace(
-                    cfg, schedule="bulk", kernel="gather", bp=512,
+                    cfg, schedule="bulk", kernel=kern, bp=bp_n,
                     force_rdma=False, solver_mode=True,
                     sweeps_per_step=n_sw, iters=max(50, iters // 6)))
                 e_n = res_n["schedules"]["bulk"]
                 tbl[str(n_sw)] = {
+                    "kernel": kern,
                     "ms_per_step": e_n["median_s"] * 1e3,
                     "ms_per_sweep": e_n["median_s"] * 1e3 / n_sw,
                     "effective_faces_per_sec": e_n["faces_per_sec"],
                 }
-                log(f"solver-mode sweeps={n_sw}: "
+                log(f"solver-mode sweeps={n_sw} ({kern}): "
                     f"{e_n['median_s']*1e3:.2f} ms/step "
                     f"({e_n['median_s']*1e3/n_sw:.2f} ms/sweep, "
                     f"{e_n['faces_per_sec']/1e9:.3f} Gf/s effective)")

@@ -551,14 +551,24 @@ def main(argv=None) -> int:
         # solver-mode default encodes the DECIDED kernel flip (mbench paired
         # packed/gather = 1.509 at 2.8M faces, BASELINE.md): the per-step
         # dataflow is rebuild-bound and the gather kernel skips the source
-        # re-pack entirely; its own bp scan optimum is 512
+        # re-pack entirely; its own bp scan optimum is 512.  The flip flips
+        # BACK with --sweeps-per-step: amortizing the rebuild over N sweeps
+        # re-weights the trade toward the fast-sweep/expensive-rebuild
+        # packed kernel — round-5 paired verdicts: gather wins at N<=2
+        # (0.80 at N=2), packed wins from N=4 (1.05), crossover ~N=3
         if args.solver_mode:
-            args.kernel = "gather"
-            if args.bp is None:
-                args.bp = 512
-            print("cfd_proxy_tpu: --solver-mode defaults to --kernel gather "
-                  "--bp 512 (paired verdict, BASELINE.md); pass --kernel/"
-                  "--bp to override", file=sys.stderr)
+            if args.sweeps_per_step <= 2:
+                args.kernel = "gather"
+                if args.bp is None:
+                    args.bp = 512
+            else:
+                args.kernel = "packed"
+            print(f"cfd_proxy_tpu: --solver-mode defaults to --kernel "
+                  f"{args.kernel}"
+                  + (" --bp 512" if args.kernel == "gather" else "")
+                  + f" at sweeps_per_step={args.sweeps_per_step} (paired "
+                  f"verdicts, BASELINE.md); pass --kernel/--bp to override",
+                  file=sys.stderr)
         else:
             args.kernel = "packed"
 

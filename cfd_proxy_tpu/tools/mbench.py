@@ -51,7 +51,8 @@ _MODEL_FIELDS = (
 # iters, dtype, ... — is taken from the SHARED base mesh/CLI and would be
 # silently ignored as a per-side override, producing a false ~1.00 "this
 # lever does nothing" verdict; reject those up front.
-_DRIVE_FIELDS = ("schedule", "solver_mode", "seed", "backend", "verify")
+_DRIVE_FIELDS = ("schedule", "solver_mode", "sweeps_per_step", "seed",
+                 "backend", "verify")
 
 
 def _coerce(field: dataclasses.Field, raw: str):
@@ -128,7 +129,8 @@ def _sampler(model, cfg: SolverConfig, iters: int):
     state = make_state(npoint, cfg.nvar, seed=cfg.seed + 1)
     scheds = [cfg.schedule] if cfg.schedule != "all" else None
     var = model.distribute_state(state, schedules=scheds)
-    kw = {"solver_mode": True} if cfg.solver_mode else {}
+    kw = ({"solver_mode": True, "sweeps_per_step": cfg.sweeps_per_step}
+          if cfg.solver_mode else {})
     n0 = max(1, iters // 10)
     small = model.iterate_fn(cfg.schedule, n0, **kw)
     big = model.iterate_fn(cfg.schedule, n0 + iters, **kw)
