@@ -167,6 +167,7 @@ class GreenGaussPallas:
         src_dtype: str = "float32",
         min_phases: int = 1,
         fake_sends: int = 0,
+        fake_tail_frac: float = 0.0,
         kcompact: bool | None = None,
         halo_dtype: str = "float32",
         grad_dtype: str = "float32",
@@ -335,7 +336,8 @@ class GreenGaussPallas:
         # models (fake ghost regions legitimately differ per schedule)
         self.fake_sends = int(fake_sends)
         lay = build_tlayout(self.parts, topo, bp=bp, min_phases=min_phases,
-                            fake_sends=fake_sends)
+                            fake_sends=fake_sends,
+                            fake_tail_frac=fake_tail_frac)
         self.layout = lay
 
         if devices is None:
@@ -685,12 +687,43 @@ class GreenGaussPallas:
             wks=self._wks[cls], out_dtype=self._grad_jnp,
         )
 
-    def _pack_buf(self, k, g, idx_k, scale_k, dtype=None):
+    def _shared_tails(self, g, sidx) -> dict:
+        """ONE combined gather for every segs-phase tail (round-5 paired
+        finding: each per-phase tail gather inside the segs concat costs a
+        ~1.4 µs FIXED materialization on top of the ~1.5-1.7 ns/col payload
+        — 6 phases × tiny tails paid ~8 µs of pure fixed cost).  Gathering
+        all tails in one take pays the fixed cost once; per-phase pieces
+        are static slices of the result (bitwise-identical values — same
+        indices, same gather).  Returns {phase: (rows, t_len) piece}."""
+        lay = self.layout
+        ks = [k for k in range(lay.nphases)
+              if (self._pack_modes[k] == "segs" and lay.tail_offs
+                  and lay.tail_offs[k] is not None)]
+        if len(ks) < 2:
+            return {}       # a single tail gains nothing from combining
+        idx_all = jnp.concatenate([
+            jax.lax.slice(sidx[k], (lay.tail_offs[k][0],),
+                          (lay.tail_offs[k][0] + lay.tail_offs[k][1],))
+            for k in ks])
+        W = self._pack_window
+        tbl = (jax.lax.slice(g, (0, 0), (g.shape[0], W))
+               if 0 < W <= g.shape[1] // 2 else g)
+        all_t = jnp.take(tbl, idx_all, axis=1)
+        out, off = {}, 0
+        for k in ks:
+            L = lay.tail_offs[k][1]
+            out[k] = jax.lax.slice(all_t, (0, off), (g.shape[0], off + L))
+            off += L
+        return out
+
+    def _pack_buf(self, k, g, idx_k, scale_k, dtype=None, tail_piece=None):
         """Phase k's packed send payload under the host-decided pack mode
         (see the _pack_modes note in __init__).  scale_k carries the mask
         (zeros on pad lanes), so the slice mode's over-read tail lanes and
         the zero mode's constant are exact.  dtype: wire precision (None =
-        keep the multiply's dtype)."""
+        keep the multiply's dtype).  tail_piece: the phase's slice of the
+        step's combined tail gather (_shared_tails) — replaces the
+        per-phase take when provided."""
         lay = self.layout
         mode = self._pack_modes[k]
         if mode == "zero":
@@ -721,12 +754,16 @@ class GreenGaussPallas:
             tail = lay.tail_offs[k] if lay.tail_offs else None
             if tail is not None:
                 t_off, t_len = tail
-                W = self._pack_window
-                tbl = (jax.lax.slice(g, (0, 0), (rows_, W))
-                       if 0 < W <= g.shape[1] // 2 else g)
-                pieces.append(jnp.take(
-                    tbl, jax.lax.slice(idx_k, (t_off,), (t_off + t_len,)),
-                    axis=1))
+                if tail_piece is not None:
+                    pieces.append(tail_piece)
+                else:
+                    W = self._pack_window
+                    tbl = (jax.lax.slice(g, (0, 0), (rows_, W))
+                           if 0 < W <= g.shape[1] // 2 else g)
+                    pieces.append(jnp.take(
+                        tbl, jax.lax.slice(idx_k, (t_off,),
+                                           (t_off + t_len,)),
+                        axis=1))
                 width += t_len
             if width < lay.s_max:
                 pieces.append(jnp.zeros((rows_, lay.s_max - width), g.dtype))
@@ -751,12 +788,14 @@ class GreenGaussPallas:
         GRADIENT exchange passes self._halo_jnp (--halo-dtype); the VAR
         exchange leaves it None — state stays full precision."""
         bufs = []
+        tails = self._shared_tails(g, send_idx)
         for k, perm in enumerate(self.layout.perms):
             if not perm:
                 bufs.append(None)
                 continue
             # mask pad lanes so ghost-region padding is deterministic zeros
-            buf = self._pack_buf(k, g, send_idx[k], send_mask[k], dtype=dtype)
+            buf = self._pack_buf(k, g, send_idx[k], send_mask[k], dtype=dtype,
+                                 tail_piece=tails.get(k))
             bufs.append(jax.lax.ppermute(buf, AXIS, list(perm)))
         return bufs
 
@@ -799,13 +838,16 @@ class GreenGaussPallas:
                     gb = self._sweep("boundary", v, e_b[0], _sq(pbd), init=zeros)
                     # boundary sums are UNSCALED; apply 1/V at pack time
                     # (then the --halo-dtype wire cast, if any)
+                    gb_tails = self._shared_tails(gb, sidx)
+
                     def pack(k):
                         # host-decided zero/slice/gather lowering per phase
                         # (_pack_modes) — the naive axis-1 take costs ~63 us
                         # per iteration at P=1 (transposed-copy + serial
                         # gather; see __init__ note)
                         return self._pack_buf(k, gb, sidx[k], pscale[k],
-                                              dtype=self._halo_jnp)
+                                              dtype=self._halo_jnp,
+                                              tail_piece=gb_tails.get(k))
 
                     dcn_out = {k: jax.lax.ppermute(pack(k), AXIS,
                                                    list(lay.perms[k]))

@@ -98,6 +98,7 @@ class TLayout:
 def build_tlayout(
     parts: list[MeshPartition], topo: HaloTopology, *, bp: int = 256,
     min_phases: int = 1, fake_sends: int = 0, seg_slack: float = 1.25,
+    fake_tail_frac: float = 0.0,
 ) -> TLayout:
     """min_phases: pad the schedule with extra self-send phases (each is a
     full self-permutation of masked zeros) — used to exercise the fused RDMA
@@ -112,6 +113,14 @@ def build_tlayout(
     unchanged (tested) — but pack/transfer/unpack now move REAL multi-phase
     payloads on a single chip, making P>1 exchange fixed costs (the
     "gather"-mode pack above all) measurable without multi-chip hardware.
+
+    fake_tail_frac: BENCHMARK-ONLY, with fake_sends — the trailing fraction
+    of each fake phase's lanes becomes a GATHER TAIL (strided non-contiguous
+    columns, tail_offs set) instead of slice segments.  The real P=8
+    headline layout is ~85% slice lanes + ~15% small-group tail; pure-slice
+    fake phases (the round-4 default) idealize the chain cost — this knob
+    reproduces the mixed layout so the measured chain can be cross-checked
+    against the model's composed slices+tail prediction (VERDICT r4 weak #3).
 
     seg_slack: lane-width budget for the SEGMENTED layout, as a multiple of
     the legacy prefix-packed phase width.  A phase's segmented width is
@@ -309,19 +318,30 @@ def build_tlayout(
         # contiguous-run segments scattered in the front region: production
         # send lists are sorted runs (comm-first grouped relabel), so the
         # fake phases exercise the SAME segs pack path the real multichip
-        # graph uses
-        nseg = min(6, max(1, n_fake // LANE))
-        m = n_fake // nseg
-        lens = [m] * (nseg - 1) + [n_fake - m * (nseg - 1)]
+        # graph uses.  fake_tail_frac carves the trailing lanes into a
+        # strided (non-contiguous) GATHER TAIL, reproducing the real mixed
+        # slices+tail layout (~85/15 at the P=8 headline)
+        check(0.0 <= fake_tail_frac <= 0.5,
+              "fake_tail_frac must be in [0, 0.5], got %r", fake_tail_frac)
+        n_tail = int(round(n_fake * fake_tail_frac))
+        n_slice = n_fake - n_tail
+        nseg = min(6, max(1, n_slice // LANE)) if n_slice else 0
+        if nseg:
+            m = n_slice // nseg
+            lens = [m] * (nseg - 1) + [n_slice - m * (nseg - 1)]
+        else:
+            lens = []
         offs, off = [], 0
         for L in lens:
             offs.append((off, L))
             off += L
+        tail = (off, n_tail) if n_tail else None
         for k in range(npad_start, nphases):
             seg_offs[k] = tuple(offs)
+            tail_offs[k] = tail
             for p_i, pt in enumerate(parts):
                 width = min(pt.nowned, 3 * n_fake)
-                stride = width // nseg
+                stride = width // max(nseg, 1)
                 off = 0
                 for r, L in enumerate(lens):
                     start = r * stride
@@ -329,6 +349,13 @@ def build_tlayout(
                         start, start + L, dtype=np.int32)
                     send_mask[p_i, k, off:off + L] = 1.0
                     off += L
+                if n_tail:
+                    # stride-2 ascending columns: sorted (truthful gather
+                    # hint) but never a contiguous run — the pack must
+                    # GATHER these lanes, like the real small-group tail
+                    send_idx[p_i, k, off:off + n_tail] = np.arange(
+                        0, 2 * n_tail, 2, dtype=np.int32)
+                    send_mask[p_i, k, off:off + n_tail] = 1.0
     # legacy phases: pad send lanes with the last REAL index (not 0) so the
     # pack gather's indices_are_sorted hint stays truthful across padding
     # (prefix-packed lanes only; segmented phases pad per segment above)

@@ -81,6 +81,10 @@ class SolverConfig:
                                 # lanes (self-sends; owned results
                                 # unchanged) — measures P>1-shaped pack/
                                 # exchange fixed costs on one chip
+    fake_tail_frac: float = 0.0     # benchmark-only, with fake_sends: the
+                                    # trailing fraction of fake lanes packs
+                                    # by GATHER (strided tail) — reproduces
+                                    # the real mixed slices+tail layout
     grad_dtype: str = "float32"     # bfloat16 stores the gradient planes
                                     # (the largest remaining f32 stream) in
                                     # bf16: ~5.6% paired win on top of the
@@ -161,6 +165,7 @@ def build_model(cfg: SolverConfig):
                                  overlap_debug=cfg.overlap_debug,
                                  min_phases=cfg.min_phases,
                                  fake_sends=cfg.fake_sends,
+                                 fake_tail_frac=cfg.fake_tail_frac,
                                  pack_force=cfg.pack_force)
     else:
         if cfg.model != "gg":
@@ -533,6 +538,10 @@ def main(argv=None) -> int:
                          "owned payloads of this many lanes (self-sends; "
                          "owned results unchanged) — measures P>1-shaped "
                          "pack/exchange fixed costs on one chip")
+    ap.add_argument("--fake-tail-frac", type=float, default=0.0,
+                    help="benchmark-only, with --fake-sends: trailing "
+                         "fraction of fake lanes becomes a strided GATHER "
+                         "tail (the real mixed slices+tail layout)")
     ap.add_argument("--pack-force", default=None, choices=["gather"],
                     help="benchmark-only: disable the slice/segs pack "
                          "lowerings (A/B vs the windowed column gather)")
@@ -579,6 +588,7 @@ def main(argv=None) -> int:
         backend=args.backend, model=args.model, kernel=args.kernel,
         force_rdma=args.force_rdma, slice_size=args.slice_size,
         min_phases=args.min_phases, fake_sends=args.fake_sends,
+        fake_tail_frac=args.fake_tail_frac,
         pack_force=args.pack_force,
         meta_dtype=args.meta_dtype, src_dtype=args.src_dtype,
         halo_dtype=args.halo_dtype,

@@ -43,7 +43,8 @@ from cfd_proxy_tpu.utils.timing import two_point_sampler
 _MODEL_FIELDS = (
     "model", "nvar", "bp", "kernel", "force_rdma", "slice_size",
     "meta_dtype", "src_dtype", "kcompact", "halo_dtype", "grad_dtype",
-    "overlap_debug", "min_phases", "fake_sends", "pack_force",
+    "overlap_debug", "min_phases", "fake_sends", "fake_tail_frac",
+    "pack_force",
 )
 
 # fields the per-side DRIVE honors (sampler schedule/mode, state seed).
@@ -115,6 +116,7 @@ def _build(cfg: SolverConfig, parts):
         kcompact=cfg.kcompact, halo_dtype=cfg.halo_dtype,
         grad_dtype=cfg.grad_dtype, overlap_debug=cfg.overlap_debug,
         min_phases=cfg.min_phases, fake_sends=cfg.fake_sends,
+        fake_tail_frac=cfg.fake_tail_frac,
         pack_force=cfg.pack_force,
     )
 

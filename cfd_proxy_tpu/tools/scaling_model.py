@@ -131,18 +131,21 @@ def shard_geometry(mesh, P, slice_size=None) -> dict:
         bsel = is_send[p.faces[:, 0]] | is_send[p.faces[:, 1]]
         sends = lay.dsts[d] != d
         pack_cols = 0
+        n_tail_phases = 0
         for k in range(lay.nphases):
             if lay.dsts[d, k] == d:
                 continue
             if lay.seg_offs and lay.seg_offs[k] is not None:
                 t = lay.tail_offs[k] if lay.tail_offs else None
-                pack_cols += int(t[1]) if t is not None else 0
+                if t is not None:
+                    pack_cols += int(t[1])
+                    n_tail_phases += 1
             else:
                 pack_cols += int(lay.s_max)
         shards.append((p.nface, int(bsel.sum()),
                        int((sends & ~inter).sum()),
                        int((sends & inter).sum()),
-                       pack_cols))
+                       pack_cols, n_tail_phases))
     return {"nface_total": sum(p.nface for p in parts),
             "s_max": int(lay.s_max), "shards": shards}
 
@@ -150,7 +153,8 @@ def shard_geometry(mesh, P, slice_size=None) -> dict:
 def eval_geometry(geo: dict, ns_per_face, ici_gbps, rows, *,
                   overlap_fixed_us=0.0, halo_bytes=4, rate_table=None,
                   bulk_fixed_us=0.0, dcn_gbps=None,
-                  pack_ns_per_col=None) -> dict:
+                  pack_ns_per_col=None, pack_tail_gather_us=0.85,
+                  pack_tail_phase_us=0.55) -> dict:
     """Evaluate the schedule time model on a shard_geometry.
 
     Schedule dataflows (per shard; per-chip time = max over shards — the
@@ -183,6 +187,17 @@ def eval_geometry(geo: dict, ns_per_face, ici_gbps, rows, *,
     fused-RDMA machinery ≈ +3 us over that), not the round-3 flat 70 us
     that conflated chain and transport.
 
+    pack_tail_gather_us / pack_tail_phase_us: the MIXED-layout correction
+    (round-5 fake_tail_frac rungs, BASELINE.md): a segs phase whose pack
+    includes a gather TAIL pays, beyond the per-column rate, a fixed
+    materialization — measured ~0.85 µs for the (shared, once-per-step)
+    combined tail gather plus ~0.55 µs per tail phase for the slices+piece
+    concat.  The round-4 composition (5 µs + 1.7 ns/col alone) under-
+    predicted the measured mixed chain 8.5 vs 16.6 µs; with these terms the
+    frac-0.30 point predicts 19.9 vs 19.7 measured.  Charged to both
+    schedules when the shard has >= 1 tail phase (6-tuples from
+    shard_geometry; older tuples charge none).
+
     Multi-slice: a geometry built with slice_size carries DCN phase counts;
     those phases are charged at dcn_gbps (sequential ppermutes), mirroring
     the ICI-first/DCN-separated phase coloring the framework runs.
@@ -202,6 +217,7 @@ def eval_geometry(geo: dict, ns_per_face, ici_gbps, rows, *,
         nface, nfb, n_ici, n_dcn = shard[:4]
         pack_cols = (shard[4] if len(shard) > 4
                      else (n_ici + n_dcn) * geo["s_max"])
+        n_tail_ph = shard[5] if len(shard) > 5 else 0
         # per-SHARD sweep rate: a strong-scaled shard runs at its own
         # footprint's measured rate (RATE_TABLES), not the global mesh's
         nspf = (rate_ns_per_face(nface, rate_table) if rate_table
@@ -218,6 +234,11 @@ def eval_geometry(geo: dict, ns_per_face, ici_gbps, rows, *,
         ofx = overlap_fixed_us * 1e-6 if (n_ici + n_dcn) else 0.0
         if pack_ns_per_col is not None and (n_ici + n_dcn):
             tp = pack_cols * pack_ns_per_col * 1e-9
+            if n_tail_ph:
+                # mixed-layout fixed terms (round-5): one combined tail
+                # gather + per-tail-phase concat materialization
+                tp += (pack_tail_gather_us
+                       + pack_tail_phase_us * n_tail_ph) * 1e-6
             fx += tp
             ofx += tp
         t_bulk = max(t_bulk, ts_all + tc + fx)

@@ -82,10 +82,13 @@ def test_shard_geometry_uses_production_layout():
 
     m = generate_mesh(24, 24, 24, jitter=0.05, diag_frac=0.2, seed=0)
     geo = shard_geometry(m, 2)
-    assert all(len(s) == 5 for s in geo["shards"])
-    for nface, nfb, n_ici, n_dcn, pack_cols in geo["shards"]:
+    assert all(len(s) == 6 for s in geo["shards"])
+    for nface, nfb, n_ici, n_dcn, pack_cols, n_tail_ph in geo["shards"]:
         full = (n_ici + n_dcn) * geo["s_max"]
         assert pack_cols < full / 2, (pack_cols, full)
+        # tail phases (round-5 mixed-layout fixed terms) are a subset of
+        # the shard's sending phases
+        assert 0 <= n_tail_ph <= n_ici + n_dcn
 
 
 def test_scaling_model_multislice(capsys):
