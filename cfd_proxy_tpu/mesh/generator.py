@@ -56,6 +56,8 @@ def generate_mesh(
     shuffle: bool = True,
     seed: int = 0,
     stretch: float = 1.0,
+    hub_frac: float = 0.0,
+    hub_extra: int = 12,
 ) -> GlobalMesh:
     """Generate an edge-based mesh on an nx×ny×nz point grid.
 
@@ -67,6 +69,16 @@ def generate_mesh(
     geometry consistently — so the linear-field Green-Gauss anchor still
     holds at interior points, and the volume scaling exercises a large
     dynamic range (an f32 stress).
+
+    hub_frac / hub_extra: HIGH-VALENCE TAIL mode (round-5 stress axis): a
+    random hub_frac of points each gain up to hub_extra additional edges to
+    second-shell grid neighbors, so the valence histogram carries the
+    high-degree tail a real TAU median-dual mesh has near singular vertices
+    (the base generator tops out at 8; hubs reach 6 + hub_extra ≈ 16-20,
+    and hub NEIGHBORS gain +1-2 — the distribution the compact prefix
+    layout, kslots sizing and the AUTO bp rule must survive).  Hub edges
+    carry small diagonal-style normals (zero net area in expectation), so
+    they stress the sweep's shape, not its physics.
     """
     check(nx >= 2 and ny >= 2 and nz >= 2, "need at least 2 points per axis")
     check(stretch > 0, "stretch must be positive")
@@ -135,6 +147,39 @@ def generate_mesh(
         # small geometric normal along the diagonal; keeps the sweep's
         # arithmetic shape, contributes zero net area in expectation
         dvec = coords[d1] - coords[d0]
+        dlen = np.linalg.norm(dvec, axis=1, keepdims=True)
+        norms.append(0.05 * h * h * dvec / np.maximum(dlen, 1e-300))
+
+    if hub_frac > 0 and hub_extra > 0:
+        check(0 < hub_frac <= 1.0, "hub_frac must be in (0, 1], got %r",
+              hub_frac)
+        # second-shell offsets, ordered so small hub_extra values pick a
+        # spatially spread subset; (±1,±1,0)-class offsets cannot collide
+        # with axis edges (distance 1) or diag edges ((1,1,1))
+        offsets = [(2, 0, 0), (0, 2, 0), (0, 0, 2), (-2, 0, 0), (0, -2, 0),
+                   (0, 0, -2), (1, 1, 0), (-1, -1, 0), (1, 0, 1),
+                   (-1, 0, -1), (0, 1, 1), (0, -1, -1), (1, -1, 0),
+                   (-1, 1, 0), (1, 0, -1), (-1, 0, 1), (0, 1, -1),
+                   (0, -1, 1)][: int(hub_extra)]
+        hubs = np.flatnonzero(rng.random(N) < hub_frac)
+        hi = hubs // (ny * nz)
+        hj = (hubs // nz) % ny
+        hk = hubs % nz
+        hub_edges = []
+        for di, dj, dk in offsets:
+            qi, qj, qk = hi + di, hj + dj, hk + dk
+            ok = ((qi >= 0) & (qi < nx) & (qj >= 0) & (qj < ny)
+                  & (qk >= 0) & (qk < nz))
+            hub_edges.append(np.stack(
+                [hubs[ok], gid(qi[ok], qj[ok], qk[ok])], axis=1))
+        he = np.concatenate(hub_edges, axis=0)
+        # canonicalize and dedupe (two nearby hubs can propose the same
+        # pair); duplicates against axis/diag edges are impossible by the
+        # offset geometry
+        he = np.sort(he, axis=1)
+        he = np.unique(he, axis=0)
+        edges.append(he)
+        dvec = coords[he[:, 1]] - coords[he[:, 0]]
         dlen = np.linalg.norm(dvec, axis=1, keepdims=True)
         norms.append(0.05 * h * h * dvec / np.maximum(dlen, 1e-300))
 

@@ -103,6 +103,11 @@ class SolverConfig:
     jitter: float = 0.05
     stretch: float = 1.0    # geometric z-spacing growth (boundary-layer
                             # anisotropy, the F6-like mesh family)
+    hub_frac: float = 0.0   # high-valence tail stress: fraction of points
+                            # gaining hub_extra second-shell edges (real
+                            # TAU meshes carry K up to ~16-20 near singular
+                            # vertices; the base generator tops out at 8)
+    hub_extra: int = 12
     seed: int = 0
     platform: str | None = None     # force a jax platform (e.g. cpu) before
                                     # backend init — the TPU plugin ignores
@@ -147,6 +152,7 @@ def build_model(cfg: SolverConfig):
         gmesh = generate_mesh(
             cfg.nx, cfg.ny, cfg.nz, jitter=cfg.jitter, diag_frac=cfg.diag_frac,
             seed=cfg.seed, stretch=cfg.stretch,
+            hub_frac=cfg.hub_frac, hub_extra=cfg.hub_extra,
         )
         parts = partition_mesh(gmesh, cfg.parts, ghost_layers=cfg.ghost_layers)
     if cfg.backend == "pallas":
@@ -519,6 +525,11 @@ def main(argv=None) -> int:
     ap.add_argument("--stretch", type=float, default=1.0,
                     help="geometric z-spacing growth ratio (boundary-layer "
                          "anisotropy)")
+    ap.add_argument("--hub-frac", type=float, default=0.0,
+                    help="high-valence tail stress: fraction of points "
+                         "gaining --hub-extra second-shell edges (K tail "
+                         "to ~16-20, like real TAU meshes)")
+    ap.add_argument("--hub-extra", type=int, default=12)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--solver-mode", action="store_true",
                     help="time the full per-time-step dataflow (sweep + "
@@ -595,7 +606,8 @@ def main(argv=None) -> int:
         grad_dtype=args.grad_dtype,
         kcompact={"auto": None, "on": True, "off": False}[args.kcompact],
         bp=args.bp, dtype=args.dtype,
-        diag_frac=args.diag_frac, stretch=args.stretch, seed=args.seed,
+        diag_frac=args.diag_frac, stretch=args.stretch,
+        hub_frac=args.hub_frac, hub_extra=args.hub_extra, seed=args.seed,
         platform=args.platform,
         solver_mode=args.solver_mode,
         sweeps_per_step=args.sweeps_per_step,

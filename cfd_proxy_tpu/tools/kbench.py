@@ -170,6 +170,11 @@ def main(argv=None) -> int:
                          "prod_alt / bf16sw_alt variants — lets --paired "
                          "decide block-size questions drift-free "
                          "(e.g. --paired prod,prod_alt --bp-alt 2048)")
+    ap.add_argument("--hub-frac", type=float, default=0.0,
+                    help="high-valence tail stress mesh (generator hub "
+                         "mode): fraction of points gaining --hub-extra "
+                         "second-shell edges (K tail to ~16-20)")
+    ap.add_argument("--hub-extra", type=int, default=12)
     args = ap.parse_args(argv)
 
     import jax
@@ -194,7 +199,8 @@ def main(argv=None) -> int:
         if args.bp_alt:
             args.bp_alt = min(args.bp_alt, 1024)
     m = generate_mesh(args.nx, args.nx, args.nx, jitter=0.05, diag_frac=0.2,
-                      seed=0)
+                      seed=0, hub_frac=args.hub_frac,
+                      hub_extra=args.hub_extra)
     # in-block degree sort (the model's kcompact relabel): heavy points go to
     # each block's leading tiles so the compact variants' prefix widths are
     # tight.  Pure in-block lane permutation — identical shapes/streams for

@@ -157,6 +157,10 @@ def main(argv=None) -> int:
                     help="untimed settling pairs before sampling")
     ap.add_argument("--schedule", default="bulk")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--hub-frac", type=float, default=0.0,
+                    help="high-valence tail stress mesh (shared by both "
+                         "sides; see generator hub mode)")
+    ap.add_argument("--hub-extra", type=int, default=12)
     ap.add_argument("--a", default="", metavar="K=V,...",
                     help="SolverConfig overrides for side A")
     ap.add_argument("--b", default="", metavar="K=V,...",
@@ -189,6 +193,7 @@ def main(argv=None) -> int:
         nx=args.nx, ny=args.ny or max(args.nx // 4, 8),
         nz=args.nz or max(args.nx // 4, 8), parts=args.parts,
         iters=args.iters, schedule=args.schedule, seed=args.seed,
+        hub_frac=args.hub_frac, hub_extra=args.hub_extra,
         backend="pallas", verify=False,
     )
     try:
@@ -207,7 +212,8 @@ def main(argv=None) -> int:
 
     m = generate_mesh(base.nx, base.ny, base.nz, jitter=base.jitter,
                       diag_frac=base.diag_frac, seed=base.seed,
-                      stretch=base.stretch)
+                      stretch=base.stretch, hub_frac=base.hub_frac,
+                      hub_extra=base.hub_extra)
     parts = partition_mesh(m, base.parts, ghost_layers=base.ghost_layers)
     nface = sum(p.nface for p in parts)
     print(f"mesh {base.nx}x{base.ny}x{base.nz}: {nface} faces, "

@@ -81,6 +81,37 @@ def test_linear_field_exact_on_stretched_grid():
                                rtol=1e-9, atol=1e-9)
 
 
+def test_hub_mesh_valence_tail_and_pallas():
+    """The high-valence stress mode (round-5): hubs reach K ~16-20 (real
+    TAU median-dual meshes carry such a tail near singular vertices; the
+    base generator tops out at 8).  The full Pallas path — plan build with
+    kslots at the tail max, compact prefixes, all schedules — must agree
+    with the f64 golden on the hub mesh."""
+    from cfd_proxy_tpu.mesh.partition import partition_mesh
+    from cfd_proxy_tpu.models import GreenGaussPallas
+
+    m = generate_mesh(10, 9, 8, jitter=0.05, diag_frac=0.2, shuffle=True,
+                      seed=4, hub_frac=0.03, hub_extra=12)
+    deg = np.bincount(m.faces.ravel(), minlength=m.npoint)
+    assert deg.max() >= 14, deg.max()            # the tail exists
+    assert np.median(deg) <= 8                   # ...and IS a tail
+    # canonical pairs are unique (hub dedupe) and oriented
+    assert (m.faces[:, 0] < m.faces[:, 1]).all()
+    assert len(np.unique(m.faces, axis=0)) == m.nface
+    var = make_state(m.npoint, 5, seed=6)
+    gref = scale_gradients(
+        compute_gradients_gg(var.astype(np.float64), m.faces, m.normals),
+        m.volume, m.npoint).reshape(m.npoint, -1)
+    parts = partition_mesh(m, 4)
+    model = GreenGaussPallas(parts, 5, bp=128, interpret=True)
+    assert max(model._dims[c][1] for c in ("bulk",)) >= 14  # kslots tracks K
+    state = model.distribute_state(var)
+    denom = max(1.0, np.abs(gref).max())
+    for s in ("bulk", "early", "overlap"):
+        got = model.gather_global(np.asarray(model.step(state, s)))
+        assert np.abs(got - gref).max() / denom < 1e-5, s
+
+
 def test_stretched_mesh_pallas_f32_stress():
     """The f32 Pallas path on the anisotropic family: volume scaling spans
     orders of magnitude; results stay within the documented f32 bound."""
