@@ -266,7 +266,14 @@ class GreenGaussPallas:
         # pack lowerings so a paired A/B can measure what they buy over the
         # windowed column gather on identical layouts.  Value-identical by
         # construction (test_pack_mode_dispatch_matches_gather).
-        check(pack_force in (None, "gather"),
+        # "combine": pack every segs phase through ONE concatenated fusion
+        # (_segs_combined) instead of per-phase concats.  MEASURED SLOWER
+        # (round 5, paired at real-sized tails: nocombine/combine 0.849 —
+        # the slices of the big materialized concat each copy out again),
+        # so per-phase is the default; the variant is kept as the A/B knob
+        # that refuted it.  "nocombine" is accepted as an explicit alias of
+        # the default for A/B symmetry.
+        check(pack_force in (None, "gather", "nocombine", "combine"),
               "unknown pack_force %r", pack_force)
         self.pack_force = pack_force
         check(nvar <= NV, "nvar %d > padded NV %d", nvar, NV)
@@ -709,12 +716,75 @@ class GreenGaussPallas:
         tbl = (jax.lax.slice(g, (0, 0), (g.shape[0], W))
                if 0 < W <= g.shape[1] // 2 else g)
         all_t = jnp.take(tbl, idx_all, axis=1)
+        # (an optimization_barrier pinning all_t as one materialized value
+        # was measured a no-op here — 10.8 vs 9.8 µs chain without it; the
+        # ~0.55 µs/phase fixed term is not gather re-fusion)
         out, off = {}, 0
         for k in ks:
             L = lay.tail_offs[k][1]
             out[k] = jax.lax.slice(all_t, (0, off), (g.shape[0], off + L))
             off += L
         return out
+
+    def _segs_pieces(self, k, g, idx_k, tail_piece=None) -> list:
+        """Phase k's UNSCALED segs-mode buffer pieces, padded to s_max:
+        one static-length dynamic slice per big signature-group segment
+        (per-shard starts from the send_idx lanes at the STATIC segment
+        offsets), the small-group tail (one windowed gather, or the
+        phase's slice of the step's combined tail — see _shared_tails),
+        and a zero pad."""
+        lay = self.layout
+        rows_ = g.shape[0]
+        pieces = [
+            jax.lax.dynamic_slice(
+                g, (jnp.int32(0), idx_k[off].astype(jnp.int32)),
+                (rows_, L))
+            for off, L in lay.seg_offs[k]]
+        width = sum(L for _o, L in lay.seg_offs[k])
+        tail = lay.tail_offs[k] if lay.tail_offs else None
+        if tail is not None:
+            t_off, t_len = tail
+            if tail_piece is not None:
+                pieces.append(tail_piece)
+            else:
+                W = self._pack_window
+                tbl = (jax.lax.slice(g, (0, 0), (rows_, W))
+                       if 0 < W <= g.shape[1] // 2 else g)
+                pieces.append(jnp.take(
+                    tbl, jax.lax.slice(idx_k, (t_off,), (t_off + t_len,)),
+                    axis=1))
+            width += t_len
+        if width < lay.s_max:
+            pieces.append(jnp.zeros((rows_, lay.s_max - width), g.dtype))
+        return pieces
+
+    def _segs_combined(self, g, send_idx, scales, dtype=None) -> dict:
+        """ONE fused pack for every segs-mode phase (round-5): all phases'
+        pieces concatenate into a single (rows, n·s_max) array — one XLA
+        fusion instead of one per phase.  The per-phase concat measured a
+        ~0.55 µs FIXED cost each (fake-phase rungs, BASELINE.md round 5);
+        per-phase buffers become static slices of the combined array.
+        Values are bitwise those of the per-phase path (same pieces, same
+        elementwise multiply/cast).  Returns {phase: (rows, s_max) buf};
+        empty unless pack_force == "combine" (MEASURED SLOWER than the
+        per-phase default — the big concat materializes and each phase's
+        slice copies out again; paired verdict in BASELINE.md round 5)."""
+        lay = self.layout
+        ks = [k for k in range(lay.nphases)
+              if self._pack_modes[k] == "segs" and lay.perms[k]]
+        if len(ks) < 2 or self.pack_force != "combine":
+            return {}
+        tails = self._shared_tails(g, send_idx)
+        pieces, scs = [], []
+        for k in ks:
+            pieces += self._segs_pieces(k, g, send_idx[k], tails.get(k))
+            scs.append(scales[k])
+        big = jnp.concatenate(pieces, axis=1) * jnp.concatenate(scs)[None, :]
+        if dtype is not None and big.dtype != dtype:
+            big = big.astype(dtype)
+        return {k: jax.lax.slice(big, (0, i * lay.s_max),
+                                 (big.shape[0], (i + 1) * lay.s_max))
+                for i, k in enumerate(ks)}
 
     def _pack_buf(self, k, g, idx_k, scale_k, dtype=None, tail_piece=None):
         """Phase k's packed send payload under the host-decided pack mode
@@ -736,38 +806,15 @@ class GreenGaussPallas:
                 (g.shape[0], lay.s_max))
         elif mode == "segs":
             # one static-length dynamic slice per big signature-group
-            # segment; per-shard starts come from the send_idx lanes at the
-            # STATIC segment offsets (lane off holds the segment's first
-            # column, or an in-bounds pad on idle shards — masked by the
-            # scale).  The small-group TAIL (tlayout.tail_offs: the ~2%
+            # segment + the small-group TAIL (tlayout.tail_offs: the ~2%
             # multi-phase corner points, fragmented into tens of tiny
-            # groups) is packed by ONE windowed gather of its lanes —
-            # a slice per tiny group would blow up the graph (measured
-            # 13x dryrun wall at 64-way)
-            rows_ = g.shape[0]
-            pieces = [
-                jax.lax.dynamic_slice(
-                    g, (jnp.int32(0), idx_k[off].astype(jnp.int32)),
-                    (rows_, L))
-                for off, L in lay.seg_offs[k]]
-            width = sum(L for _o, L in lay.seg_offs[k])
-            tail = lay.tail_offs[k] if lay.tail_offs else None
-            if tail is not None:
-                t_off, t_len = tail
-                if tail_piece is not None:
-                    pieces.append(tail_piece)
-                else:
-                    W = self._pack_window
-                    tbl = (jax.lax.slice(g, (0, 0), (rows_, W))
-                           if 0 < W <= g.shape[1] // 2 else g)
-                    pieces.append(jnp.take(
-                        tbl, jax.lax.slice(idx_k, (t_off,),
-                                           (t_off + t_len,)),
-                        axis=1))
-                width += t_len
-            if width < lay.s_max:
-                pieces.append(jnp.zeros((rows_, lay.s_max - width), g.dtype))
-            buf = jnp.concatenate(pieces, axis=1)
+            # groups) packed by ONE windowed gather — a slice per tiny
+            # group would blow up the graph (measured 13x dryrun wall at
+            # 64-way).  This per-phase path is PRODUCTION; the
+            # pack_force="combine" single-fusion variant measured slower
+            # (BASELINE.md round 5).
+            buf = jnp.concatenate(
+                self._segs_pieces(k, g, idx_k, tail_piece), axis=1)
         else:
             W = self._pack_window
             tbl = g
@@ -788,14 +835,18 @@ class GreenGaussPallas:
         GRADIENT exchange passes self._halo_jnp (--halo-dtype); the VAR
         exchange leaves it None — state stays full precision."""
         bufs = []
-        tails = self._shared_tails(g, send_idx)
+        combined = self._segs_combined(g, send_idx, send_mask, dtype=dtype)
+        tails = {} if combined else self._shared_tails(g, send_idx)
         for k, perm in enumerate(self.layout.perms):
             if not perm:
                 bufs.append(None)
                 continue
             # mask pad lanes so ghost-region padding is deterministic zeros
-            buf = self._pack_buf(k, g, send_idx[k], send_mask[k], dtype=dtype,
-                                 tail_piece=tails.get(k))
+            if k in combined:
+                buf = combined[k]
+            else:
+                buf = self._pack_buf(k, g, send_idx[k], send_mask[k],
+                                     dtype=dtype, tail_piece=tails.get(k))
             bufs.append(jax.lax.ppermute(buf, AXIS, list(perm)))
         return bufs
 
@@ -838,13 +889,19 @@ class GreenGaussPallas:
                     gb = self._sweep("boundary", v, e_b[0], _sq(pbd), init=zeros)
                     # boundary sums are UNSCALED; apply 1/V at pack time
                     # (then the --halo-dtype wire cast, if any)
-                    gb_tails = self._shared_tails(gb, sidx)
+                    gb_combined = self._segs_combined(
+                        gb, sidx, pscale, dtype=self._halo_jnp)
+                    gb_tails = ({} if gb_combined
+                                else self._shared_tails(gb, sidx))
 
                     def pack(k):
                         # host-decided zero/slice/gather lowering per phase
                         # (_pack_modes) — the naive axis-1 take costs ~63 us
                         # per iteration at P=1 (transposed-copy + serial
-                        # gather; see __init__ note)
+                        # gather; see __init__ note).  Segs phases come from
+                        # the combined single-fusion pack when >= 2 of them
+                        if k in gb_combined:
+                            return gb_combined[k]
                         return self._pack_buf(k, gb, sidx[k], pscale[k],
                                               dtype=self._halo_jnp,
                                               tail_piece=gb_tails.get(k))

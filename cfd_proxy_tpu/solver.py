@@ -553,9 +553,14 @@ def main(argv=None) -> int:
                     help="benchmark-only, with --fake-sends: trailing "
                          "fraction of fake lanes becomes a strided GATHER "
                          "tail (the real mixed slices+tail layout)")
-    ap.add_argument("--pack-force", default=None, choices=["gather"],
-                    help="benchmark-only: disable the slice/segs pack "
-                         "lowerings (A/B vs the windowed column gather)")
+    ap.add_argument("--pack-force", default=None,
+                    choices=["gather", "nocombine", "combine"],
+                    help="benchmark-only: 'gather' disables the slice/segs "
+                         "pack lowerings (A/B vs the windowed column "
+                         "gather); 'combine' packs all segs phases through "
+                         "one concatenated fusion (measured SLOWER — the "
+                         "refuted round-5 variant); 'nocombine' = explicit "
+                         "per-phase default")
     ap.add_argument("--no-verify", action="store_true")
     ap.add_argument("--json", action="store_true", help="emit one JSON line")
     ap.add_argument("--profile", dest="profile_dir", default=None,
