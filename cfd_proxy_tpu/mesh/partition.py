@@ -297,7 +297,8 @@ def degree_sort_order(deg: np.ndarray, block: int,
 
 def rcb_owned_order(part: MeshPartition, *, block: int = 256,
                     degree_sort: bool = False,
-                    comm_first: bool = True) -> np.ndarray:
+                    comm_first: bool = True,
+                    entry_phase: np.ndarray | None = None) -> np.ndarray:
     """RCB-based locality permutation for the owned points (new id of old).
 
     degree_sort=True additionally stable-sorts points by incidence count
@@ -329,7 +330,19 @@ def rcb_owned_order(part: MeshPartition, *, block: int = 256,
     (tlayout's segmented lane layout; BASELINE.md round-4).  The in-block
     degree sort skips the comm region — reordering inside a block would
     break the groups' contiguity (the region is a few percent of points;
-    the compact-prefix loss there is noise)."""
+    the compact-prefix loss there is noise).
+
+    entry_phase (round 5): phase id per comm entry (aligned with
+    part.comm).  When given, signatures are keyed by the PHASE set and
+    groups are ordered by the CANONICAL (len, tuple) phase-signature order
+    — the same order build_tlayout enumerates signatures in — so that
+    consecutive groups sharing a phase form column-ADJACENT runs and
+    tlayout can merge them into INTERVAL slices (one dynamic_slice covering
+    several whole groups; eliminates the small-group gather tail and its
+    ~0.85/0.55 µs fixed costs, BASELINE.md round 5).  Without it the group
+    order is the np.unique lexicographic order of entry membership —
+    per-shard, so cross-group adjacency is not canonical and tlayout packs
+    per group."""
     nowned = part.nowned
     nblk = max(1, nowned // block)
     blk = rcb_assign(part.coords[:nowned], nblk)
@@ -346,10 +359,27 @@ def rcb_owned_order(part: MeshPartition, *, block: int = 256,
             # closures at 64+ shards exceed.)
             pos_of = np.full(nowned, -1, dtype=np.int64)
             pos_of[sp] = np.arange(sp.size)
-            memb = np.zeros((sp.size, len(part.comm)), dtype=bool)
-            for i, e in enumerate(part.comm):
-                memb[pos_of[e.sendidx], i] = True
-            _, sig_of_sp = np.unique(memb, axis=0, return_inverse=True)
+            if entry_phase is not None:
+                check(len(entry_phase) == len(part.comm),
+                      "entry_phase length %d != comm entries %d",
+                      len(entry_phase), len(part.comm))
+                nph = int(max(entry_phase, default=-1)) + 1
+                memb = np.zeros((sp.size, max(nph, 1)), dtype=bool)
+                for i, e in enumerate(part.comm):
+                    memb[pos_of[e.sendidx], int(entry_phase[i])] = True
+                rows, sig_of_sp = np.unique(memb, axis=0,
+                                            return_inverse=True)
+                # canonical group order: (len, phase tuple) — matches
+                # build_tlayout's signature enumeration
+                keys = [tuple(np.flatnonzero(r)) for r in rows]
+                rank_of = {i: r for r, i in enumerate(sorted(
+                    range(len(keys)), key=lambda i: (len(keys[i]), keys[i])))}
+                sig_of_sp = np.array([rank_of[int(s)] for s in sig_of_sp])
+            else:
+                memb = np.zeros((sp.size, len(part.comm)), dtype=bool)
+                for i, e in enumerate(part.comm):
+                    memb[pos_of[e.sendidx], i] = True
+                _, sig_of_sp = np.unique(memb, axis=0, return_inverse=True)
             sig = np.full(nowned, -1, dtype=np.int64)
             sig[sp] = sig_of_sp
             is_send = sig >= 0

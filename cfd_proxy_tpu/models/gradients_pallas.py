@@ -324,17 +324,42 @@ class GreenGaussPallas:
                   f"to {bp} ({why})", file=sys.stderr)
         self.interpret = interpret
         P_ = len(parts)
+        # PRE-topology on the raw parts: phase coloring depends only on the
+        # comm graph structure (partner/round edges), which the relabel
+        # does not change — so the phase ids derived here are exactly the
+        # final topology's.  They let rcb_owned_order group each shard's
+        # send points by PHASE signature in the canonical order, which is
+        # what makes tlayout's interval slices possible (round 5: one
+        # dynamic_slice spanning several column-adjacent whole groups — no
+        # small-group gather tail).
+        pre_topo = build_halo_topology(parts,
+                                       max(p.npoint for p in parts) + 1,
+                                       slice_size=slice_size)
+        entry_phases = []
+        for d, p in enumerate(parts):
+            # recv-only entries (empty sendidx) are carried by no send
+            # phase of this shard — default 0 is inert (their membership
+            # rows are empty)
+            entry_phases.append(np.array([
+                next((k for k, ph in enumerate(pre_topo.phases)
+                      if ph.round == e.round and (d, e.partner) in ph.perm),
+                     0)
+                for e in p.comm], dtype=np.int64))
         # locality relabel, then topology & device layout; kcompact adds the
         # in-block degree sort that makes the compact prefixes tight
         self.parts = [
             relabel_owned(p, rcb_owned_order(p, block=bp,
-                                             degree_sort=self.kcompact))
-            for p in parts
+                                             degree_sort=self.kcompact,
+                                             entry_phase=entry_phases[d]))
+            for d, p in enumerate(parts)
         ]
         npoint_pad = max(p.npoint for p in self.parts) + 1
         # multi-slice: ICI phases scheduled before DCN phases (topology.py)
         topo = build_halo_topology(self.parts, npoint_pad,
                                    slice_size=slice_size)
+        check(topo.nphases == pre_topo.nphases,
+              "phase coloring changed across the relabel (%d -> %d phases)",
+              pre_topo.nphases, topo.nphases)
         self.topology = topo
         # fake_sends: benchmark-only real-payload self-send phases (see
         # tlayout docstring) — makes P>1-shaped exchange fixed costs

@@ -173,35 +173,77 @@ def build_tlayout(
     # guarantees it; un-relabeled callers (e.g. raw partitions) fall back
     # to the legacy prefix-packed lanes
     segmented = bool(sigs)
-    seg_len: dict[tuple, int] = {}
     for sig in sigs:
-        n_max = 0
         for p in range(P):
             cols = np.sort(np.asarray(sig_cols[p].get(sig, ()), np.int64))
             if cols.size > 1 and not (np.diff(cols) == 1).all():
                 segmented = False
-            n_max = max(n_max, cols.size)
-        seg_len[sig] = n_max
-    # per-phase lane plan: signature groups in DESCENDING length order; the
-    # leading >= SEG_MIN_LANES groups (at most SEG_MAX_PER_PHASE) become
-    # slice segments, everything after them is the gather TAIL
-    phase_order: list[list] = []   # per phase: sigs in lane order
+    # INTERVAL detection (round 5): when the relabel laid each shard's comm
+    # region group-after-group in the CANONICAL sig order (rcb_owned_order
+    # with entry_phase), consecutive sigs' runs are column-adjacent on
+    # every shard — so a phase can cover a run of consecutive sigs that all
+    # contain it with ONE dynamic_slice (an interval), instead of one slice
+    # per group + a gather tail for the tiny ones.  At P=8 the headline
+    # topology needs 1-4 intervals per phase and NO tail (which costs
+    # ~0.85 µs per gather + ~0.55 µs per tail phase — BASELINE.md round 5).
+    aligned = segmented
+    if segmented:
+        for p in range(P):
+            runs = [np.sort(np.asarray(sig_cols[p][s], np.int64))
+                    for s in sigs if sig_cols[p].get(s)]
+            if runs:
+                cat = np.concatenate(runs)
+                if cat.size > 1 and not (np.diff(cat) == 1).all():
+                    aligned = False
+                    break
+    # per-phase lane plan over UNITS (interval = tuple of consecutive sigs
+    # when aligned; singleton groups otherwise), in DESCENDING length
+    # order; the leading >= SEG_MIN_LANES units (at most SEG_MAX_PER_PHASE)
+    # become slice segments, everything after them is the gather TAIL
+    phase_order: list[list] = []   # per phase: units (tuples of sigs)
+    phase_lens: list[list] = []    # per phase: unit max-over-shards lengths
     phase_segs: list[tuple] = []   # per phase: ((off, L), ...) slices
     phase_tail: list = []          # per phase: (off, L) or None
     if segmented:
         for k in range(topo.nphases):
-            order = sorted((s for s in sigs if k in s),
-                           key=lambda s: (-seg_len[s], len(s), s))
-            # slices: the descending-length prefix that qualifies
+            if aligned:
+                units, cur = [], []
+                for s in sigs:
+                    if k in s:
+                        cur.append(s)
+                    elif cur:
+                        units.append(tuple(cur))
+                        cur = []
+                if cur:
+                    units.append(tuple(cur))
+            else:
+                units = [(s,) for s in sigs if k in s]
+            lens = []
+            for u in units:
+                n_max = 0
+                for p in range(P):
+                    n_max = max(n_max, sum(len(sig_cols[p].get(s, ()))
+                                           for s in u))
+                lens.append(n_max)
+            order = sorted(range(len(units)),
+                           key=lambda i: (-lens[i], units[i]))
+            units = [units[i] for i in order]
+            lens = [lens[i] for i in order]
             offs, off = [], 0
-            for sig in order:
-                if seg_len[sig] < SEG_MIN_LANES or len(offs) >= SEG_MAX_PER_PHASE:
+            # aligned intervals: ANY unit length earns a slice (P=8 needs
+            # <= 4 units/phase; a tail would cost ~0.85+0.55n µs of fixed
+            # materialization for nothing).  SEG_MAX_PER_PHASE still caps
+            # fragmented topologies (64-way: units beyond the cap tail).
+            min_lanes = 1 if aligned else SEG_MIN_LANES
+            for L in lens:
+                if L < min_lanes or len(offs) >= SEG_MAX_PER_PHASE:
                     break
-                offs.append((off, seg_len[sig]))
-                off += seg_len[sig]
-            width = sum(seg_len[s] for s in order)
+                offs.append((off, L))
+                off += L
+            width = sum(lens)
             tail = (off, width - off) if width > off else None
-            phase_order.append(order)
+            phase_order.append(units)
+            phase_lens.append(lens)
             phase_segs.append(tuple(offs))
             phase_tail.append(tail)
     # per-phase width gating (see seg_slack in the docstring): segmented
@@ -212,11 +254,11 @@ def build_tlayout(
     use_segs = [False] * topo.nphases
     if segmented and phase_order:
         budget = max(float(seg_slack) * w_legacy, float(LANE))
-        use_segs = [sum(seg_len[s] for s in phase_order[k]) <= budget
+        use_segs = [sum(phase_lens[k]) <= budget
                     for k in range(topo.nphases)]
     smax_req = 1
     for k in range(topo.nphases):
-        smax_req = max(smax_req, sum(seg_len[s] for s in phase_order[k])
+        smax_req = max(smax_req, sum(phase_lens[k])
                        if use_segs[k] else w_legacy)
     if topo.nphases == 0:
         smax_req = w_legacy
@@ -253,20 +295,22 @@ def build_tlayout(
         perms.append(tuple(ph.perm))
         inter_slice[k] = bool(ph.inter_slice)
         if use_segs[k]:
-            # SEGMENTED lanes: each signature group at its static offset
-            # (slice segments first, descending length, then the tail
-            # groups); per-group tail pads repeat the group's last column
-            # (send, mask 0) and stay OOB on the recv side
+            # SEGMENTED lanes: each UNIT (interval of consecutive sigs, or
+            # a single group) at its static offset (slice segments first,
+            # descending length, then the tail units); per-unit tail pads
+            # repeat the unit's last column (send, mask 0) and stay OOB on
+            # the recv side
             seg_offs.append(phase_segs[k])
             tail_offs.append(phase_tail[k])
             for (src, dst) in ph.perm:
                 si, ri = act[(src, k)]
                 lanes_recv = np.full(s_max, topo.npoint_pad, np.int64)
                 off = 0
-                for sig in phase_order[k]:
-                    L = seg_len[sig]
-                    cols = np.sort(np.asarray(
-                        sig_cols[src].get(sig, ()), np.int64))
+                for u, L in zip(phase_order[k], phase_lens[k]):
+                    parts_u = [np.asarray(sig_cols[src][s], np.int64)
+                               for s in u if sig_cols[src].get(s)]
+                    cols = (np.sort(np.concatenate(parts_u)) if parts_u
+                            else np.zeros(0, np.int64))
                     n = cols.size
                     if n:
                         pos = np.searchsorted(si, cols)

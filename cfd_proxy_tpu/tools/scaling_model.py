@@ -113,12 +113,22 @@ def shard_geometry(mesh, P, slice_size=None) -> dict:
     from cfd_proxy_tpu.parallel.tlayout import build_tlayout
     from cfd_proxy_tpu.parallel.topology import build_halo_topology
 
-    # mirror GreenGaussPallas's preprocessing: the comm-first signature-
-    # grouped relabel is what makes tlayout's segmented lanes possible —
+    # mirror GreenGaussPallas's preprocessing: pre-topology phase ids feed
+    # the canonical phase-signature relabel (round 5: interval slices — no
+    # tail at P=8), which is what makes tlayout's segmented lanes possible;
     # a raw-partition layout would silently read pack_cols = every column
+    raw = partition_mesh(mesh, P)
+    pre = build_halo_topology(raw, max(p.npoint for p in raw) + 1,
+                              slice_size=slice_size)
+    eph = [np.array([next((k for k, ph in enumerate(pre.phases)
+                           if ph.round == e.round
+                           and (d, e.partner) in ph.perm), 0)
+                     for e in p.comm], dtype=np.int64)
+           for d, p in enumerate(raw)]
     parts = [relabel_owned(p, rcb_owned_order(p, block=4096,
-                                              degree_sort=True))
-             for p in partition_mesh(mesh, P)]
+                                              degree_sort=True,
+                                              entry_phase=eph[d]))
+             for d, p in enumerate(raw)]
     topo = build_halo_topology(parts, max(p.npoint for p in parts) + 1,
                                slice_size=slice_size)
     lay = build_tlayout(parts, topo)

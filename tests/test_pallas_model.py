@@ -613,38 +613,35 @@ def test_pack_force_gather(mesh, gvar):
 
 
 def test_segmented_pack_layout(mesh, gvar):
-    """The tlayout segmented lanes (hybrid slices + tail): every real
-    phase's lane layout is big signature-group runs at STATIC offsets
-    shared by all shards (descending length, each >= SEG_MIN_LANES, at most
-    SEG_MAX_PER_PHASE), followed by the small-group TAIL region that the
-    pack gathers in one take.  Each shard's active lanes within a slice
-    segment are one contiguous ascending column run (the comm-first grouped
-    relabel's guarantee the segs pack mode's dynamic slices rely on)."""
-    from cfd_proxy_tpu.parallel.tlayout import SEG_MAX_PER_PHASE, SEG_MIN_LANES
+    """The tlayout segmented lanes under the round-5 INTERVAL layout: the
+    model's canonical phase-signature relabel lays each shard's comm region
+    group-after-group in the order tlayout enumerates signatures, so every
+    phase's lanes are interval slices at STATIC offsets shared by all
+    shards (descending length, at most SEG_MAX_PER_PHASE) — and at model-
+    built P=4/P=8 topologies the intervals absorb ALL groups: NO gather
+    tail remains (the tail costs ~0.85+0.55n µs of fixed materialization —
+    BASELINE.md round 5).  Each shard's active lanes within a slice are one
+    contiguous ascending column run (what the segs pack mode's
+    dynamic slices rely on)."""
+    from cfd_proxy_tpu.parallel.tlayout import SEG_MAX_PER_PHASE
 
     parts = partition_mesh(mesh, 4, ghost_layers=1)
     model = GreenGaussPallas(parts, NVAR, bp=128, interpret=True)
     lay = model.layout
     sidx = np.asarray(lay.send_idx)
     mask = np.asarray(lay.send_mask)
-    saw_tail = False
     for k in range(lay.nphases):
         segs = lay.seg_offs[k]
         assert segs is not None
         assert len(segs) <= SEG_MAX_PER_PHASE
         lens = [L for _o, L in segs]
-        assert all(L >= SEG_MIN_LANES for L in lens)
         assert lens == sorted(lens, reverse=True)     # big first
         width = sum(lens)
-        tail = lay.tail_offs[k]
-        if tail is not None:
-            saw_tail = True
-            t_off, t_len = tail
-            assert t_off == width and t_len > 0       # tail follows slices
-            width += t_len
+        # interval absorption: this topology needs no tail
+        assert lay.tail_offs[k] is None
         assert width <= lay.s_max
         for p in range(len(parts)):
-            # no active lane outside the slices+tail layout
+            # no active lane outside the slice layout
             assert not (mask[p, k, width:] > 0).any()
             for off, L in segs:
                 act = mask[p, k, off:off + L] > 0
@@ -653,7 +650,6 @@ def test_segmented_pack_layout(mesh, gvar):
                 run = sidx[p, k, off:off + n]
                 if n > 1:
                     np.testing.assert_array_equal(np.diff(run), 1)
-    assert saw_tail  # at P=4 some phase has small multi-phase groups
 
 
 def test_segmented_width_gating(mesh):

@@ -49,14 +49,20 @@ def _random_case(seed):
     if owner is not None:
         owner[: P] = np.arange(P, dtype=np.int32)
     nvar = int(rng.integers(1, 8))
-    return m, P, K, owner, nvar, style
+    # multi-slice topologies split phases into ICI + DCN classes — the
+    # round-5 interval relabel depends on the phase coloring, so the fuzz
+    # must cover both (a slice_size-shaped bug once reached the 64-way
+    # dryrun before any test)
+    slice_size = int(rng.choice([0, 2, max(2, P // 2)])) or None
+    return m, P, K, owner, nvar, style, slice_size
 
 
 @pytest.mark.parametrize("seed", range(6))
 def test_fuzz_topology_invariants(seed):
-    m, P, K, owner, nvar, style = _random_case(seed)
+    m, P, K, owner, nvar, style, slice_size = _random_case(seed)
     parts = partition_mesh(m, P, ghost_layers=K, owner=owner)
-    model = GreenGaussPallas(parts, nvar, bp=128, interpret=True)
+    model = GreenGaussPallas(parts, nvar, bp=128, interpret=True,
+                             slice_size=slice_size)
     lay = model.layout
 
     # --- full-permutation completeness per phase (deadlock freedom) ---
@@ -92,7 +98,7 @@ def test_fuzz_topology_invariants(seed):
     gvar = make_state(sum(p.nowned for p in model.parts), nvar, seed=seed)
     state = model.distribute_state(gvar)
     forced = GreenGaussPallas(parts, nvar, bp=128, interpret=True,
-                              pack_force="gather")
+                              slice_size=slice_size, pack_force="gather")
     fstate = forced.distribute_state(gvar)
     gref64 = scale_gradients(
         compute_gradients_gg(gvar.astype(np.float64), m.faces, m.normals),
@@ -122,9 +128,10 @@ def test_fuzz_xla_f64_bit_equality(seed):
 
     from cfd_proxy_tpu.models import GreenGaussModel
 
-    m, P, K, owner, nvar, style = _random_case(seed)
+    m, P, K, owner, nvar, style, slice_size = _random_case(seed)
     parts = partition_mesh(m, P, ghost_layers=K, owner=owner)
-    model = GreenGaussModel(parts, nvar, dtype=jnp.float64)
+    model = GreenGaussModel(parts, nvar, dtype=jnp.float64,
+                            slice_size=slice_size)
     gvar = make_state(m.npoint, nvar, seed=seed)
     state = model.distribute_state(gvar)
     ref = np.asarray(model.step(state, "bulk"))
