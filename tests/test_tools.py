@@ -84,11 +84,26 @@ def test_shard_geometry_uses_production_layout():
     geo = shard_geometry(m, 2)
     assert all(len(s) == 6 for s in geo["shards"])
     for nface, nfb, n_ici, n_dcn, pack_cols, n_tail_ph in geo["shards"]:
-        full = (n_ici + n_dcn) * geo["s_max"]
-        assert pack_cols < full / 2, (pack_cols, full)
-        # tail phases (round-5 mixed-layout fixed terms) are a subset of
-        # the shard's sending phases
-        assert 0 <= n_tail_ph <= n_ici + n_dcn
+        # round-5 interval layout: the canonical phase-signature relabel
+        # merges every group into interval slices — NO gather lanes and NO
+        # tail phases remain at model-built low-P topologies (the gate
+        # numbers rest on this; a regression here silently re-charges the
+        # pack)
+        assert pack_cols == 0, pack_cols
+        assert n_tail_ph == 0, n_tail_ph
+
+
+def test_shard_geometry_interval_elimination_p8():
+    """The headline-claim geometry: at P=8 every shard's pack is pure
+    interval slices (pack_cols = 0, no tail phases) — what lets the model
+    anchor the P=8 chain at the measured pure-slice 5 µs."""
+    from cfd_proxy_tpu.mesh.generator import generate_mesh
+    from cfd_proxy_tpu.tools.scaling_model import shard_geometry
+
+    m = generate_mesh(24, 24, 24, jitter=0.05, diag_frac=0.2, seed=0)
+    geo = shard_geometry(m, 8)
+    assert all(s[4] == 0 and s[5] == 0 for s in geo["shards"]), \
+        [(s[4], s[5]) for s in geo["shards"]]
 
 
 def test_scaling_model_multislice(capsys):
