@@ -374,6 +374,8 @@ class _RunWatchdog:
         global _EMITTED
         self.seconds = seconds
         self.partial = partial
+        self._t0 = time.monotonic()
+        self._deadline = self._t0 + seconds
         self._lock = threading.Lock()
         self._cancelled = False
         self.function = self._fire      # Timer-compatible handle (tests)
@@ -395,13 +397,21 @@ class _RunWatchdog:
             self._t.cancel()
 
     def extend(self, extra_s: float):
-        """Re-arm for extra_s seconds from NOW (cold-cache budget growth)."""
+        """Grow the budget to AT LEAST extra_s seconds from now — never
+        shrink it: when the original deadline is already further out than
+        now+extra_s, keep it (re-arming unconditionally would MOVE THE
+        DEADLINE EARLIER for first stages in the 400-900 s range, killing a
+        healthy cold run the un-extended timer would have allowed)."""
         with self._lock:
             if self._cancelled:
                 return
+            new_deadline = max(self._deadline, time.monotonic() + extra_s)
+            if new_deadline <= self._deadline:
+                return
             self._t.cancel()
-            self.seconds += extra_s
-            self._arm(extra_s)
+            self._deadline = new_deadline
+            self.seconds = new_deadline - self._t0
+            self._arm(new_deadline - time.monotonic())
 
     def _fire(self):
         try:
@@ -685,10 +695,11 @@ def main() -> int:
             # its DECIDED kernel config (round-5 paired verdicts: gather/
             # 512 wins at N<=2, packed/auto from N=4 — the rebuild/sweep
             # trade re-weights as the rebuild amortizes).
+            from cfd_proxy_tpu.solver import solver_mode_defaults
+
             tbl = {}
             for n_sw in [int(s) for s in sweeps_env.split(",") if s]:
-                kern, bp_n = (("gather", 512) if n_sw <= 2
-                              else ("packed", None))
+                kern, bp_n = solver_mode_defaults(n_sw)
                 res_n, _ = run(_replace(
                     cfg, schedule="bulk", kernel=kern, bp=bp_n,
                     force_rdma=False, solver_mode=True,

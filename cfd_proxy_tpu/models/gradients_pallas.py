@@ -59,7 +59,7 @@ from cfd_proxy_tpu.parallel.tlayout import (
     device_inv_scale,
     device_state,
 )
-from cfd_proxy_tpu.parallel.topology import build_halo_topology
+from cfd_proxy_tpu.parallel.topology import build_halo_topology, entry_phases
 from cfd_proxy_tpu.utils.errors import check
 
 AXIS = "shard"
@@ -331,26 +331,19 @@ class GreenGaussPallas:
         # send points by PHASE signature in the canonical order, which is
         # what makes tlayout's interval slices possible (round 5: one
         # dynamic_slice spanning several column-adjacent whole groups — no
-        # small-group gather tail).
+        # small-group gather tail).  Building the full topology twice is
+        # fine: it measures 0.00 s even at the 22.5M-point north-star mesh
+        # (the host wall is mesh gen + partition, 45+13 s there).
         pre_topo = build_halo_topology(parts,
                                        max(p.npoint for p in parts) + 1,
                                        slice_size=slice_size)
-        entry_phases = []
-        for d, p in enumerate(parts):
-            # recv-only entries (empty sendidx) are carried by no send
-            # phase of this shard — default 0 is inert (their membership
-            # rows are empty)
-            entry_phases.append(np.array([
-                next((k for k, ph in enumerate(pre_topo.phases)
-                      if ph.round == e.round and (d, e.partner) in ph.perm),
-                     0)
-                for e in p.comm], dtype=np.int64))
+        eph = entry_phases(parts, pre_topo)
         # locality relabel, then topology & device layout; kcompact adds the
         # in-block degree sort that makes the compact prefixes tight
         self.parts = [
             relabel_owned(p, rcb_owned_order(p, block=bp,
                                              degree_sort=self.kcompact,
-                                             entry_phase=entry_phases[d]))
+                                             entry_phase=eph[d]))
             for d, p in enumerate(parts)
         ]
         npoint_pad = max(p.npoint for p in self.parts) + 1

@@ -55,6 +55,26 @@ class HaloTopology:
         return max((p.send_idx.shape[1] for p in self.phases), default=0)
 
 
+def entry_phases(parts: list[MeshPartition],
+                 topo: HaloTopology) -> list[np.ndarray]:
+    """Per shard: phase id of each comm entry (aligned with part.comm).
+
+    The ONE definition of entry→phase matching, shared by
+    GreenGaussPallas.__init__ and scaling_model.shard_geometry — the
+    model's headline pack-elimination numbers (pack_cols == 0) rest on the
+    two using identical preprocessing, so the rule must not fork.
+    Recv-only entries (empty sendidx) are carried by no send phase of
+    their shard and default to 0, which is inert downstream (their
+    signature-membership rows are empty)."""
+    out = []
+    for d, p in enumerate(parts):
+        out.append(np.array([
+            next((k for k, ph in enumerate(topo.phases)
+                  if ph.round == e.round and (d, e.partner) in ph.perm), 0)
+            for e in p.comm], dtype=np.int64))
+    return out
+
+
 def build_halo_topology(
     parts: list[MeshPartition], npoint_pad: int, *, slice_size: int | None = None
 ) -> HaloTopology:

@@ -128,6 +128,16 @@ class SolverConfig:
     profile_dir: str | None = None   # jax.profiler trace output (optional)
 
 
+def solver_mode_defaults(sweeps_per_step: int = 1) -> tuple[str, int | None]:
+    """The DECIDED solver-mode kernel config per sweeps_per_step — the ONE
+    place the measured crossover lives (paired verdicts, BASELINE.md round
+    5: gather/512 wins at N<=2 (0.80 at N=2), packed/auto from N=4 (1.05),
+    crossover ~N=3).  Shared by the CLI's --solver-mode defaulting and
+    bench.py's sweeps table so the recorded artifact and the CLI cannot
+    drift apart.  Returns (kernel, bp); bp None = the model's AUTO rule."""
+    return ("gather", 512) if sweeps_per_step <= 2 else ("packed", None)
+
+
 def build_model(cfg: SolverConfig):
     import jax.numpy as jnp
 
@@ -582,12 +592,9 @@ def main(argv=None) -> int:
         # packed kernel — round-5 paired verdicts: gather wins at N<=2
         # (0.80 at N=2), packed wins from N=4 (1.05), crossover ~N=3
         if args.solver_mode:
-            if args.sweeps_per_step <= 2:
-                args.kernel = "gather"
-                if args.bp is None:
-                    args.bp = 512
-            else:
-                args.kernel = "packed"
+            args.kernel, bp_def = solver_mode_defaults(args.sweeps_per_step)
+            if args.bp is None:
+                args.bp = bp_def
             print(f"cfd_proxy_tpu: --solver-mode defaults to --kernel "
                   f"{args.kernel}"
                   + (" --bp 512" if args.kernel == "gather" else "")

@@ -206,6 +206,12 @@ def main(argv=None) -> int:
             ap.error(f"--{side}: mbench drives the pallas model only")
         if c.schedule == "all":
             ap.error(f"--{side}: pick ONE schedule per side")
+        if c.sweeps_per_step != 1 and not c.solver_mode:
+            # the _DRIVE_FIELDS contract: a silently-ignored override
+            # records a false ~1.00 "lever does nothing" verdict
+            ap.error(f"--{side}: sweeps_per_step={c.sweeps_per_step} "
+                     f"requires solver_mode=1 on the same side (the static "
+                     f"iteration never rebuilds tables)")
 
     from cfd_proxy_tpu.mesh.generator import generate_mesh
     from cfd_proxy_tpu.mesh.partition import partition_mesh

@@ -111,20 +111,19 @@ def shard_geometry(mesh, P, slice_size=None) -> dict:
     windowed gather at P8-shaped payloads, chain 28 → 5.1 µs, round 4)."""
     from cfd_proxy_tpu.mesh.partition import relabel_owned, rcb_owned_order
     from cfd_proxy_tpu.parallel.tlayout import build_tlayout
-    from cfd_proxy_tpu.parallel.topology import build_halo_topology
+    from cfd_proxy_tpu.parallel.topology import (build_halo_topology,
+                                                 entry_phases)
 
     # mirror GreenGaussPallas's preprocessing: pre-topology phase ids feed
     # the canonical phase-signature relabel (round 5: interval slices — no
     # tail at P=8), which is what makes tlayout's segmented lanes possible;
-    # a raw-partition layout would silently read pack_cols = every column
+    # a raw-partition layout would silently read pack_cols = every column.
+    # entry_phases is the SHARED helper — the model and this geometry must
+    # not fork the entry→phase rule (the pack_cols==0 gate rests on it)
     raw = partition_mesh(mesh, P)
     pre = build_halo_topology(raw, max(p.npoint for p in raw) + 1,
                               slice_size=slice_size)
-    eph = [np.array([next((k for k, ph in enumerate(pre.phases)
-                           if ph.round == e.round
-                           and (d, e.partner) in ph.perm), 0)
-                     for e in p.comm], dtype=np.int64)
-           for d, p in enumerate(raw)]
+    eph = entry_phases(raw, pre)
     parts = [relabel_owned(p, rcb_owned_order(p, block=4096,
                                               degree_sort=True,
                                               entry_phase=eph[d]))
