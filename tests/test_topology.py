@@ -134,3 +134,35 @@ def test_slice_aware_results_bit_identical():
         outs[ss] = np.asarray(model.step(var, "overlap", exact=True))
     np.testing.assert_array_equal(outs[None], outs[4])
     np.testing.assert_array_equal(outs[None], outs[2])
+
+
+def test_entry_phases_helper():
+    """topology.entry_phases — the ONE entry→phase rule shared by the model
+    and shard_geometry: every sending entry maps to the phase whose perm
+    carries its (shard, partner) edge at its round; recv-only entries
+    default to 0 (inert — empty membership rows)."""
+    from cfd_proxy_tpu.mesh.generator import generate_mesh
+    from cfd_proxy_tpu.mesh.partition import partition_mesh
+    from cfd_proxy_tpu.parallel.topology import (build_halo_topology,
+                                                 entry_phases)
+
+    m = generate_mesh(8, 7, 6, jitter=0.05, diag_frac=0.2, seed=0)
+    parts = partition_mesh(m, 4, ghost_layers=2)
+    topo = build_halo_topology(parts, max(p.npoint for p in parts) + 1)
+    eph = entry_phases(parts, topo)
+    assert len(eph) == len(parts)
+    for d, p in enumerate(parts):
+        assert len(eph[d]) == len(p.comm)
+        for i, e in enumerate(p.comm):
+            k = int(eph[d][i])
+            ph = topo.phases[k]
+            if e.sendidx.size:
+                assert ph.round == e.round
+                assert (d, e.partner) in ph.perm
+                # the phase's send lanes for this shard are exactly this
+                # entry's (sorted) send list
+                cnt = int((ph.recv_idx[e.partner] < topo.npoint_pad).sum())
+                np.testing.assert_array_equal(
+                    ph.send_idx[d, :cnt], np.sort(e.sendidx))
+            else:
+                assert k == 0      # recv-only: inert default
